@@ -1,0 +1,99 @@
+"""HMM associative-scan kernel vs brute-force / sequential oracles, plus the
+grad(logZ) = marginals contract."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from svae_tpu.ops import hmm, oracles
+from tests.test_oracles import TestHMMOracles
+
+
+def make_hmm(T=6, K=3, seed=0, time_varying=False):
+    return TestHMMOracles().make_hmm(T=T, K=K, seed=seed, time_varying=time_varying)
+
+
+@pytest.fixture(params=[True, False], ids=["parallel", "sequential"])
+def parallel(request):
+    return request.param
+
+
+class TestLogZ:
+    def test_matches_brute_force(self, parallel):
+        args = make_hmm(T=6, K=3, seed=0)
+        want = oracles.hmm_logZ_brute(*args)
+        got = hmm.hmm_logZ(*jax.tree.map(jnp.asarray, args), parallel=parallel)
+        np.testing.assert_allclose(got, want, rtol=1e-10)
+
+    def test_time_varying(self, parallel):
+        args = make_hmm(T=5, K=3, seed=1, time_varying=True)
+        want = oracles.hmm_logZ_brute(*args)
+        got = hmm.hmm_logZ(*jax.tree.map(jnp.asarray, args), parallel=parallel)
+        np.testing.assert_allclose(got, want, rtol=1e-10)
+
+    def test_long_chain_vs_seq_oracle(self, parallel):
+        args = make_hmm(T=300, K=5, seed=2)
+        want = oracles.hmm_logZ_seq(*args)
+        got = hmm.hmm_logZ(*jax.tree.map(jnp.asarray, args), parallel=parallel)
+        np.testing.assert_allclose(got, want, rtol=1e-9)
+
+    def test_batched_vmap(self):
+        probs = [make_hmm(T=8, K=3, seed=s) for s in (3, 4, 5)]
+        batch = jax.tree.map(lambda *xs: jnp.stack(xs), *jax.tree.map(jnp.asarray, probs))
+        got = jax.jit(jax.vmap(hmm.hmm_logZ))(*batch)
+        want = np.array([oracles.hmm_logZ_seq(*p) for p in probs])
+        np.testing.assert_allclose(got, want, rtol=1e-9)
+
+    def test_K1_degenerate(self, parallel):
+        lo = jnp.ones((5, 1))
+        got = hmm.hmm_logZ(jnp.zeros(1), jnp.zeros((1, 1)), lo, parallel=parallel)
+        np.testing.assert_allclose(got, 5.0, rtol=1e-12)
+
+
+class TestMarginals:
+    def test_node_marginals_match_oracle(self, parallel):
+        args = make_hmm(T=9, K=4, seed=6)
+        logZ_o, node_o, pair_o = oracles.hmm_marginals_seq(*args)
+        jargs = jax.tree.map(jnp.asarray, args)
+        logZ, node, trans_stats, init_marg = hmm.hmm_marginals(
+            *jargs, parallel=parallel
+        )
+        np.testing.assert_allclose(logZ, logZ_o, rtol=1e-10)
+        np.testing.assert_allclose(node, node_o, rtol=1e-8, atol=1e-12)
+        # homogeneous log_trans: grad sums pairwise marginals over time
+        np.testing.assert_allclose(trans_stats, pair_o.sum(0), rtol=1e-8, atol=1e-12)
+        np.testing.assert_allclose(init_marg, node_o[0], rtol=1e-8, atol=1e-12)
+
+    def test_pair_marginals_time_varying(self, parallel):
+        args = make_hmm(T=6, K=3, seed=7, time_varying=True)
+        _, node_o, pair_o = oracles.hmm_marginals_seq(*args)
+        jargs = jax.tree.map(jnp.asarray, args)
+        _, node, pair, _ = hmm.hmm_marginals(*jargs, parallel=parallel)
+        np.testing.assert_allclose(node, node_o, rtol=1e-8, atol=1e-12)
+        np.testing.assert_allclose(pair, pair_o, rtol=1e-8, atol=1e-12)
+
+
+class TestSample:
+    def test_path_frequencies_match_posterior(self, parallel):
+        # tiny chain: empirical path histogram vs exact path posterior
+        args = make_hmm(T=3, K=2, seed=8)
+        jargs = jax.tree.map(jnp.asarray, args)
+        zs = hmm.hmm_sample(
+            *jargs, key=jax.random.PRNGKey(0), num_samples=40_000, parallel=parallel
+        )
+        assert zs.shape == (40_000, 3)
+        log_init, log_trans, log_obs = args
+        import itertools
+
+        freq = {}
+        for path in itertools.product(range(2), repeat=3):
+            lp = log_init[path[0]] + log_obs[0, path[0]]
+            for t in range(1, 3):
+                lp += log_trans[path[t - 1], path[t]] + log_obs[t, path[t]]
+            freq[path] = np.exp(lp)
+        Z = sum(freq.values())
+        zs_np = np.asarray(zs)
+        for path, p in freq.items():
+            emp = np.mean(np.all(zs_np == np.array(path), axis=-1))
+            np.testing.assert_allclose(emp, p / Z, atol=0.02)
