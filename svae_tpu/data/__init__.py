@@ -1,0 +1,14 @@
+"""Synthetic datasets for the example experiments and tests.
+
+(reference: experiments/gmm_svae_synth.py:make_pinwheel_data,
+experiments/lds_svae_synth.py:make_dot_data, svae/lds/synthetic_data.py.)
+"""
+
+from svae_tpu.data.synthetic import (
+    make_pinwheel,
+    make_dot_data,
+    rand_lds,
+    lds_rollout,
+)
+
+__all__ = ["make_pinwheel", "make_dot_data", "rand_lds", "lds_rollout"]

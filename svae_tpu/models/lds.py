@@ -1,0 +1,180 @@
+"""LDS-SVAE: linear-dynamical-system prior composed with a neural decoder.
+
+(reference: svae/models/lds.py -- run_inference / init_pgm_param /
+lds_prior_expectedstats.)
+
+Global natural parameters: ``(niw_natparam, mniw_natparam)`` -- a NIW factor
+on the initial state's (mu, Sigma) and an MNIW factor on the homogeneous
+dynamics (A, Sigma). The E-step takes expected pair/init potentials under
+q(theta), adds the recognition net's per-frame diagonal evidence, and runs
+the O(log T)-span associative-scan Kalman smoother + parallel backward
+sampler (svae_tpu/ops/kalman.py), vmapped over the minibatch of sequences.
+
+Stats returned are congruent with the global natparams:
+  NIW : (E[x_1 x_1^T], E[x_1], 1, 1) per sequence
+  MNIW: (sum_t E[x_{t+1} x_{t+1}^T], sum_t E[x_{t+1} x_t^T],
+         sum_t E[x_t x_t^T], T-1) per sequence
+summed over the batch, so the conjugate natural-gradient update is pytree
+addition in the training core.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from svae_tpu.expfam import niw, mniw
+from svae_tpu.ops import kalman
+from svae_tpu.utils.pytree import tree_sub, tree_dot
+
+
+# --------------------------------------------------------------------------
+# global parameter init
+# --------------------------------------------------------------------------
+
+
+def init_pgm_param(key, d, niw_conc=10.0, mniw_conc=10.0, A_scale=0.9,
+                   Q_scale=0.1, dtype=jnp.float32):
+    """Random global natparams: NIW on the initial state, MNIW centered on
+    slightly-contractive dynamics A ~ A_scale * (random rotation-ish)
+    (reference: svae/models/lds.py:init_pgm_param)."""
+    k1, k2 = jax.random.split(key)
+    # init-state NIW
+    m0 = jnp.zeros((d,), dtype)
+    kappa0 = jnp.asarray(niw_conc, dtype)
+    nu0 = jnp.asarray(d + niw_conc, dtype)
+    Phi0 = nu0 * jnp.eye(d, dtype=dtype)
+    niw_natparam = niw.standard_to_natural(Phi0, m0, kappa0, nu0)
+
+    # dynamics MNIW centered at a random near-orthogonal contraction
+    G = jax.random.normal(k1, (d, d), dtype)
+    Q_, _ = jnp.linalg.qr(G)
+    M = A_scale * Q_
+    V = (1.0 / mniw_conc) * jnp.eye(d, dtype=dtype)
+    nu = jnp.asarray(d + mniw_conc, dtype)
+    Phi = Q_scale * nu * jnp.eye(d, dtype=dtype)
+    mniw_natparam = mniw.standard_to_natural(Phi, M, V, nu)
+    return (niw_natparam, mniw_natparam)
+
+
+def pgm_expectedstats(global_natparam):
+    niw_natparam, mniw_natparam = global_natparam
+    return (niw.expectedstats(niw_natparam), mniw.expectedstats(mniw_natparam))
+
+
+# --------------------------------------------------------------------------
+# potentials
+# --------------------------------------------------------------------------
+
+
+def expected_chain_potentials(global_natparam, T, dtype=None):
+    """(init, pairs) chain potentials under q(theta), in the kernel's
+    natural-parameter convention (svae_tpu/ops/__init__.py)."""
+    niw_natparam, mniw_natparam = global_natparam
+    (I1, I2), Ic = niw.expected_gaussian_natparam(niw_natparam)
+    E1, E2, E3, Pc = mniw.expected_pair_potential(mniw_natparam)
+    d = I2.shape[-1]
+    if dtype is not None:
+        I1, I2, Ic, E1, E2, E3, Pc = jax.tree.map(
+            lambda a: a.astype(dtype), (I1, I2, Ic, E1, E2, E3, Pc)
+        )
+    bcast = lambda a: jnp.broadcast_to(a, (T - 1,) + a.shape)
+    init = (I1, I2, Ic)
+    pairs = (bcast(E1), bcast(E2), bcast(E3), bcast(Pc))
+    return init, pairs
+
+
+def _node_potentials(nn_potentials):
+    """Diagonal evidence (J_diag, h) with (T, d) shapes -> kernel nodes
+    (N1, N2) with N1_t = -1/2 diag(J_t)."""
+    J_diag, h = nn_potentials
+    N1 = -0.5 * jnp.vectorize(jnp.diag, signature="(d)->(d,d)")(J_diag)
+    return (N1, h)
+
+
+# --------------------------------------------------------------------------
+# single-sequence E-step
+# --------------------------------------------------------------------------
+
+
+def _sequence_inference(init, pairs, nn_potentials, key, num_samples,
+                        parallel=True):
+    """One sequence: returns (samples (S, T, d), seq stats, local_kl)."""
+    nodes = _node_potentials(nn_potentials)
+    samples, (Ex, ExxT, Exnxt), logZ = kalman.lds_inference(
+        init, pairs, nodes, key, num_samples, parallel=parallel
+    )
+    N1, N2 = nodes
+    local_kl = (
+        jnp.sum(N1 * ExxT) + jnp.sum(N2 * Ex) - logZ
+    )
+    T = Ex.shape[0]
+    one = jnp.ones((), Ex.dtype)
+    niw_stats = (ExxT[0], Ex[0], one, one)
+    ExnxtT = jnp.swapaxes(Exnxt, -1, -2)  # E[x_{t+1} x_t^T]
+    mniw_stats = (
+        jnp.sum(ExxT[1:], axis=0),
+        jnp.sum(ExnxtT, axis=0),
+        jnp.sum(ExxT[:-1], axis=0),
+        (T - 1) * one,
+    )
+    return samples, (niw_stats, mniw_stats), local_kl
+
+
+# --------------------------------------------------------------------------
+# prior KL
+# --------------------------------------------------------------------------
+
+
+def prior_kl(global_natparam, prior_natparam):
+    """KL(q(theta) || p(theta)) = NIW KL + MNIW KL
+    (reference: svae/models/lds.py prior KL assembly)."""
+    niw_q, mniw_q = global_natparam
+    niw_p, mniw_p = prior_natparam
+    niw_kl = (
+        tree_dot(tree_sub(niw_q, niw_p), niw.expectedstats(niw_q))
+        - jnp.sum(niw.logZ(niw_q))
+        + jnp.sum(niw.logZ(niw_p))
+    )
+    mniw_kl = (
+        tree_dot(tree_sub(mniw_q, mniw_p), mniw.expectedstats(mniw_q))
+        - jnp.sum(mniw.logZ(mniw_q))
+        + jnp.sum(mniw.logZ(mniw_p))
+    )
+    return niw_kl + mniw_kl
+
+
+# --------------------------------------------------------------------------
+# the model contract
+# --------------------------------------------------------------------------
+
+
+def run_inference(prior_natparam, global_natparam, nn_potentials, key,
+                  num_samples=1, parallel=True):
+    """E-step + sampling + KLs (reference: svae/models/lds.py:run_inference).
+
+    ``nn_potentials`` = (J_diag, h), each (T, d) for a single sequence or
+    (B, T, d) for a minibatch (vmapped over B; per-sequence stats and KLs
+    are summed). Returns (samples, stats, global_kl, local_kl) with samples
+    shaped (S, T, d) or (B, S, T, d).
+    """
+    J_diag, h = nn_potentials
+    batched = J_diag.ndim == 3
+    T = J_diag.shape[-2]
+    init, pairs = expected_chain_potentials(global_natparam, T,
+                                            dtype=h.dtype)
+
+    if batched:
+        B = J_diag.shape[0]
+        keys = jax.random.split(key, B)
+        samples, stats, local_kls = jax.vmap(
+            lambda p, k: _sequence_inference(init, pairs, p, k, num_samples,
+                                             parallel=parallel)
+        )((J_diag, h), keys)
+        stats = jax.tree.map(lambda s: jnp.sum(s, axis=0), stats)
+        local_kl = jnp.sum(local_kls)
+    else:
+        samples, stats, local_kl = _sequence_inference(
+            init, pairs, (J_diag, h), key, num_samples, parallel=parallel
+        )
+
+    global_kl = prior_kl(global_natparam, prior_natparam)
+    return samples, stats, global_kl, local_kl

@@ -1,0 +1,67 @@
+"""Decoders (forward models): latent samples -> log-likelihood of data.
+
+(reference: svae/forward_models.py -- mlp_decode / linear_decode and the
+*_loglike wrappers that MC-average the diagonal-Gaussian observation
+log-density over reparameterized samples.)
+"""
+
+import jax.numpy as jnp
+
+from svae_tpu.nets import mlp as mlp_lib
+
+LOG2PI = jnp.log(2.0 * jnp.pi)
+
+
+def init_mlp_decode(key, d_latent, hidden_sizes, d_obs, dtype=jnp.float32):
+    return mlp_lib.init_gaussian_mlp(
+        key, (d_latent,) + tuple(hidden_sizes) + (d_obs,), dtype=dtype
+    )
+
+
+def mlp_decode(params, x, mean_fn=None):
+    """x (..., d_latent) -> (mu, log_sigmasq) each (..., d_obs)."""
+    hidden, head = params
+    h = mlp_lib.mlp(hidden, x)
+    return mlp_lib.gaussian_mean_head(head, h, mean_fn=mean_fn)
+
+
+def init_linear_decode(key, d_latent, d_obs, dtype=jnp.float32):
+    return mlp_lib.init_gaussian_mlp(key, (d_latent, d_obs), dtype=dtype)
+
+
+def linear_decode(params, x, mean_fn=None):
+    _, head = params
+    return mlp_lib.gaussian_mean_head(head, x, mean_fn=mean_fn)
+
+
+def diag_gaussian_loglike(y, mu, log_sigmasq):
+    """sum over obs dims of log N(y | mu, diag(exp(log_sigmasq))), retaining
+    leading batch axes."""
+    return -0.5 * jnp.sum(
+        (y - mu) ** 2 / jnp.exp(log_sigmasq) + log_sigmasq + LOG2PI, axis=-1
+    )
+
+
+def mlp_loglike(params, samples, y, mean_fn=None):
+    """MC-averaged decoder log-likelihood, summed over the batch.
+
+    ``samples`` has shape (num_samples, ...batch..., d_latent) (or just
+    (...batch..., d_latent)); ``y`` has shape (...batch..., d_obs). The
+    sample axes broadcast against y and are averaged out; batch/time axes
+    are summed (a total log-likelihood for the minibatch).
+    """
+    mu, log_sigmasq = mlp_decode(params, samples, mean_fn=mean_fn)
+    ll = diag_gaussian_loglike(y, mu, log_sigmasq)
+    extra = ll.ndim - (y.ndim - 1)
+    if extra > 0:
+        ll = jnp.mean(ll, axis=tuple(range(extra)))
+    return jnp.sum(ll)
+
+
+def linear_loglike(params, samples, y, mean_fn=None):
+    mu, log_sigmasq = linear_decode(params, samples, mean_fn=mean_fn)
+    ll = diag_gaussian_loglike(y, mu, log_sigmasq)
+    extra = ll.ndim - (y.ndim - 1)
+    if extra > 0:
+        ll = jnp.mean(ll, axis=tuple(range(extra)))
+    return jnp.sum(ll)

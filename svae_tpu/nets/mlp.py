@@ -1,0 +1,79 @@
+"""Minimal pure-JAX MLP with Gaussian output heads.
+
+(reference: svae/nnet.py -- init_layer/init_mlp/mlp with tanh layers and
+gaussian_mean / gaussian_info output heads.)
+
+Parameters are tuples of (W, b) pairs; the output head owns two linear maps
+(one per Gaussian output block). Everything is batched over arbitrary
+leading axes of the input's last dimension.
+"""
+
+import jax
+import jax.numpy as jnp
+
+
+def _glorot(key, n_in, n_out, scale=1.0, dtype=jnp.float32):
+    std = scale * jnp.sqrt(2.0 / (n_in + n_out))
+    return std * jax.random.normal(key, (n_in, n_out), dtype)
+
+
+def init_layer(key, n_in, n_out, scale=1.0, dtype=jnp.float32):
+    """One dense layer's parameters (W, b)."""
+    return (_glorot(key, n_in, n_out, scale, dtype), jnp.zeros((n_out,), dtype))
+
+
+def init_mlp(key, sizes, scale=1.0, dtype=jnp.float32):
+    """Hidden stack params for sizes = (d_in, h1, ..., hk). Returns a tuple of
+    (W, b) pairs; apply with :func:`mlp` (tanh nonlinearity, as the
+    reference's default)."""
+    keys = jax.random.split(key, len(sizes) - 1)
+    return tuple(
+        init_layer(k, m, n, scale, dtype)
+        for k, m, n in zip(keys, sizes[:-1], sizes[1:])
+    )
+
+
+def mlp(params, x, activation=jnp.tanh):
+    """Apply the hidden stack; activation after every layer."""
+    for W, b in params:
+        x = activation(x @ W + b)
+    return x
+
+
+def init_gaussian_head(key, n_in, n_out, scale=1.0, dtype=jnp.float32):
+    """Two parallel linear output maps (for the two Gaussian blocks)."""
+    k1, k2 = jax.random.split(key)
+    return (
+        init_layer(k1, n_in, n_out, scale, dtype),
+        init_layer(k2, n_in, n_out, scale, dtype),
+    )
+
+
+def gaussian_mean_head(head_params, h, mean_fn=None):
+    """Decoder head: h -> (mu, log_sigmasq). ``mean_fn`` (e.g. sigmoid for
+    image data) post-processes the mean block."""
+    (Wm, bm), (Ws, bs) = head_params
+    mu = h @ Wm + bm
+    if mean_fn is not None:
+        mu = mean_fn(mu)
+    log_sigmasq = h @ Ws + bs
+    return mu, log_sigmasq
+
+
+def gaussian_info_head(head_params, h, eps=1e-6):
+    """Recognition head: h -> diagonal natural potential (J_diag, h_lin) with
+    J_diag > 0 via softplus (reference's gaussian_info emits (J, h) evidence
+    potentials)."""
+    (Wj, bj), (Wh, bh) = head_params
+    J_diag = jax.nn.softplus(h @ Wj + bj) + eps
+    h_lin = h @ Wh + bh
+    return J_diag, h_lin
+
+
+def init_gaussian_mlp(key, sizes, scale=1.0, dtype=jnp.float32):
+    """Full net params: (hidden stack, gaussian head). ``sizes`` =
+    (d_in, h1, ..., hk, d_out); with no hidden layers this is a linear map."""
+    k1, k2 = jax.random.split(key)
+    hidden = init_mlp(k1, sizes[:-1], scale, dtype)
+    head = init_gaussian_head(k2, sizes[-2], sizes[-1], scale, dtype)
+    return (hidden, head)

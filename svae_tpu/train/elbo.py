@@ -1,0 +1,85 @@
+"""MC-ELBO assembly and the split SVAE gradient.
+
+(reference: svae/svae.py -- make_gradfun / inner mc_elbo / gradfun. The
+natgrad line being replicated, reference: svae/svae.py:make_gradfun:
+``pgm_natgrad = -natgrad_scale/N * (flat(prior) + num_batches*flat(stats)
+- flat(pgm_params))``.)
+
+The SVAE objective for a minibatch of B of N datapoints:
+
+  ELBO = (N/B) * [ E_q log p(y | x, gamma) - local_KL ] - global_KL
+
+Two gradient channels (SURVEY.md section 3.4):
+  1. the conjugate PGM globals get the *closed-form natural gradient*
+     assembled from detached expected sufficient statistics:
+         natgrad = (1/N) * (prior + (N/B) * stats - pgm_params)
+     (ascent direction; the 1/N matches the reference's per-datapoint
+     scaling so step sizes transfer),
+  2. recognition/decoder net params get ordinary backprop gradients of the
+     ELBO through the reparameterized samples and the local KL.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from svae_tpu.utils.pytree import tree_add, tree_sub, tree_scale
+
+
+def make_objective(run_inference, recognize, loglike, pgm_prior, N,
+                   num_samples=1):
+    """Build ``objective(pgm_params, net_params, batch, key) ->
+    (elbo_per_datapoint, stats)`` where ``net_params = (recogn_params,
+    loglike_params)`` and ``stats`` are the (detached) expected sufficient
+    statistics for the natural gradient.
+    """
+
+    def objective(pgm_params, net_params, batch, key):
+        recogn_params, loglike_params = net_params
+        B = batch.shape[0]
+        scale = N / B
+        nn_potentials = recognize(recogn_params, batch)
+        samples, stats, global_kl, local_kl = run_inference(
+            pgm_prior, pgm_params, nn_potentials, key, num_samples
+        )
+        ll = loglike(loglike_params, samples, batch)
+        elbo = scale * (ll - local_kl) - global_kl
+        return elbo / N, jax.lax.stop_gradient(stats)
+
+    return objective
+
+
+def make_gradfun(run_inference, recognize, loglike, pgm_prior, N,
+                 num_samples=1, natgrad_scale=1.0):
+    """Build the per-step value-and-gradient function.
+
+    ``gradfun(pgm_params, net_params, batch, key) ->
+        (elbo_per_datapoint, pgm_natgrad, net_grads)``
+
+    ``pgm_natgrad`` is an ASCENT direction congruent with ``pgm_params``;
+    ``net_grads`` are ascent gradients for (recogn_params, loglike_params).
+    Jit/pmap/shard_map-compatible (pure function of its inputs).
+    """
+    objective = make_objective(run_inference, recognize, loglike, pgm_prior,
+                               N, num_samples)
+
+    def gradfun(pgm_params, net_params, batch, key):
+        B = batch.shape[0]
+
+        def net_obj(net_params):
+            return objective(pgm_params, net_params, batch, key)
+
+        (elbo, stats), net_grads = jax.value_and_grad(net_obj, has_aux=True)(
+            net_params
+        )
+        # closed-form natural gradient from the conjugate stats
+        # (reference: svae/svae.py:make_gradfun natgrad line)
+        natgrad = tree_scale(
+            tree_sub(tree_add(pgm_prior, tree_scale(stats, N / B)),
+                     pgm_params),
+            natgrad_scale / N,
+        )
+        return elbo, natgrad, net_grads
+
+    return gradfun

@@ -1,0 +1,76 @@
+"""Training loop: one jitted SVI step + a host-side epoch loop with
+callbacks (the reference's optimizer-callback design kept deliberately --
+reference: svae/optimizers.py callback param; SURVEY.md section 5).
+"""
+
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from svae_tpu.train.elbo import make_gradfun
+from svae_tpu.train.optim import make_optimizer
+
+
+def make_train_step(run_inference, recognize, loglike, pgm_prior, N,
+                    num_samples=1, natgrad_scale=1.0, pgm_step_size=1.0,
+                    net_optimizer=None, net_step_size=1e-3, donate=True):
+    """Build ``(init_state, train_step)``:
+
+      init_state(pgm_params, net_params) -> opt_state
+      train_step(pgm_params, net_params, opt_state, batch, key)
+          -> (pgm_params, net_params, opt_state, elbo)
+
+    ``train_step`` is jitted with donated param/state buffers (in-place
+    update on device, no host round-trips -- the whole SVI step is one XLA
+    program).
+    """
+    gradfun = make_gradfun(run_inference, recognize, loglike, pgm_prior, N,
+                           num_samples, natgrad_scale)
+    opt_init, opt_update = make_optimizer(net_optimizer, pgm_step_size,
+                                          net_step_size)
+
+    def step(pgm_params, net_params, opt_state, batch, key):
+        elbo, natgrad, net_grads = gradfun(pgm_params, net_params, batch, key)
+        pgm_params, net_params, opt_state = opt_update(
+            opt_state, pgm_params, net_params, natgrad, net_grads
+        )
+        return pgm_params, net_params, opt_state, elbo
+
+    donate_argnums = (0, 1, 2) if donate else ()
+    return opt_init, jax.jit(step, donate_argnums=donate_argnums)
+
+
+def run(train_step, pgm_params, net_params, opt_state, data, key, num_epochs,
+        batch_size, callback=None, shuffle=True):
+    """Host-side epoch loop (reference: svae/optimizers.py:adam loop).
+
+    ``data`` is a single array with leading datapoint/sequence axis; batches
+    are static-shaped slices (the tail remainder is dropped so every step
+    hits the same compiled program). ``callback(step, elbo, params)`` runs
+    every step if given. Returns (pgm_params, net_params, opt_state,
+    elbo_history).
+    """
+    N = data.shape[0]
+    num_batches = N // batch_size
+    history = []
+    step_idx = 0
+    for epoch in range(num_epochs):
+        key, kperm = jax.random.split(key)
+        if shuffle:
+            perm = jax.random.permutation(kperm, N)
+        else:
+            perm = jnp.arange(N)
+        for b in range(num_batches):
+            batch = data[perm[b * batch_size:(b + 1) * batch_size]]
+            key, kstep = jax.random.split(key)
+            pgm_params, net_params, opt_state, elbo = train_step(
+                pgm_params, net_params, opt_state, batch, kstep
+            )
+            history.append(float(elbo))
+            if callback is not None:
+                callback(step_idx, history[-1],
+                         (pgm_params, net_params))
+            step_idx += 1
+    return pgm_params, net_params, opt_state, history

@@ -1,0 +1,106 @@
+"""LDS-SVAE model tests: plumbing of expected potentials into the Kalman
+kernels, stats congruence, the grad(logZ) stats identity at the model level,
+and KL sanity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from svae_tpu.expfam import niw, mniw
+from svae_tpu.models import lds
+from svae_tpu.ops import kalman, oracles
+
+KEY = jax.random.PRNGKey(0)
+
+
+def _setup(d=2, T=7, B=3, seed=0):
+    glob = lds.init_pgm_param(jax.random.PRNGKey(seed), d, dtype=jnp.float64)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(seed + 1))
+    J = jax.nn.softplus(jax.random.normal(k1, (B, T, d), jnp.float64)) + 0.5
+    h = jax.random.normal(k2, (B, T, d), jnp.float64)
+    return glob, (J, h)
+
+
+def test_potentials_match_oracle_smoother():
+    glob, (J, h) = _setup()
+    T = J.shape[1]
+    init, pairs = lds.expected_chain_potentials(glob, T)
+    nodes = lds._node_potentials((J[0], h[0]))
+    logZ, Ex, ExxT, Exnxt = kalman.lds_smoother(init, pairs, nodes)
+    o_logZ, o_Ex, o_ExxT, o_Exnxt = oracles.lds_smoother_seq(
+        *jax.tree.map(np.asarray, (init, pairs, nodes))
+    )
+    np.testing.assert_allclose(float(logZ), o_logZ, rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(Ex), o_Ex, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(ExxT), o_ExxT, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(Exnxt), o_Exnxt, atol=1e-8)
+
+
+def test_stats_congruent_with_globals():
+    glob, pots = _setup()
+    samples, stats, gkl, lkl = lds.run_inference(glob, glob, pots, KEY,
+                                                 num_samples=2)
+    assert jax.tree.structure(stats) == jax.tree.structure(glob)
+    B, T, d = pots[0].shape
+    assert samples.shape == (B, 2, T, d)
+    niw_stats, mniw_stats = stats
+    np.testing.assert_allclose(float(niw_stats[2]), B, rtol=1e-12)
+    np.testing.assert_allclose(float(mniw_stats[3]), B * (T - 1), rtol=1e-12)
+
+
+def test_stats_equal_grad_of_local_elbo_terms():
+    """The MNIW/NIW stats collected from the smoother must equal the
+    gradient of the chain logZ w.r.t. the expected potentials -- the
+    conjugacy identity the natural gradient relies on."""
+    glob, (J, h) = _setup(B=1)
+    T, d = J.shape[1], J.shape[2]
+    nodes = lds._node_potentials((J[0], h[0]))
+
+    init, pairs = lds.expected_chain_potentials(glob, T)
+
+    def logZ_of(init, pairs):
+        return kalman.lds_logZ(init, pairs, nodes)
+
+    gi, gp = jax.grad(logZ_of, argnums=(0, 1))(init, pairs)
+    _, Ex, ExxT, Exnxt = kalman.lds_smoother(init, pairs, nodes)
+    # init potential I1 pairs with x_1 x_1^T, I2 with x_1
+    np.testing.assert_allclose(np.asarray(gi[0]), np.asarray(ExxT[0]),
+                               atol=1e-7)
+    np.testing.assert_allclose(np.asarray(gi[1]), np.asarray(Ex[0]),
+                               atol=1e-7)
+    # pair potentials P1/P2/P3 pair with x'x'^T, x'x^T, xx^T per step
+    np.testing.assert_allclose(np.asarray(jnp.sum(gp[0], 0)),
+                               np.asarray(jnp.sum(ExxT[1:], 0)), atol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(jnp.sum(gp[1], 0)),
+        np.asarray(jnp.sum(jnp.swapaxes(Exnxt, -1, -2), 0)), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(jnp.sum(gp[2], 0)),
+                               np.asarray(jnp.sum(ExxT[:-1], 0)), atol=1e-7)
+
+
+def test_local_kl_nonnegative():
+    glob, pots = _setup(B=4, seed=5)
+    _, _, _, lkl = lds.run_inference(glob, glob, pots, KEY, num_samples=1)
+    assert float(lkl) >= -1e-6
+
+
+def test_prior_kl_zero_at_prior():
+    glob, _ = _setup()
+    assert abs(float(lds.prior_kl(glob, glob))) < 1e-8
+    other = jax.tree.map(lambda a: a * 1.05 + 0.01, glob)
+    assert float(lds.prior_kl(other, glob)) > 0
+
+
+def test_sequential_and_parallel_paths_agree():
+    glob, pots = _setup(B=2, T=9)
+    s1, st1, g1, l1 = lds.run_inference(glob, glob, pots, KEY, 2,
+                                        parallel=True)
+    s2, st2, g2, l2 = lds.run_inference(glob, glob, pots, KEY, 2,
+                                        parallel=False)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-7)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a),
+                                                np.asarray(b), atol=1e-7),
+        st1, st2)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-8)

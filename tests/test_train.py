@@ -1,0 +1,119 @@
+"""Training-core tests: gradfun wiring, natural-gradient fixed point, a
+short end-to-end GMM-SVAE training run (ELBO must improve), and
+checkpoint/resume bitwise reproducibility."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from svae_tpu.data import make_pinwheel
+from svae_tpu.models import gmm
+from svae_tpu.nets import recognition, decoders
+from svae_tpu.train import elbo as elbo_lib
+from svae_tpu.train import loop as loop_lib
+from svae_tpu.train import checkpoint as ckpt_lib
+from svae_tpu.utils.pytree import flat
+
+
+def _build(K=6, d=2, d_obs=2, N=80, seed=0):
+    k = jax.random.PRNGKey(seed)
+    k1, k2, k3 = jax.random.split(k, 3)
+    pgm_prior = gmm.init_pgm_param(k1, K, d, random_scale=1.0,
+                                   dtype=jnp.float64)
+    pgm_params = gmm.init_pgm_param(k2, K, d, random_scale=2.0,
+                                    dtype=jnp.float64)
+    ka, kb = jax.random.split(k3)
+    recogn_params = recognition.init_mlp_recognize(ka, d_obs, (20,), d,
+                                                   dtype=jnp.float64)
+    loglike_params = decoders.init_mlp_decode(kb, d, (20,), d_obs,
+                                              dtype=jnp.float64)
+
+    def run_inference(prior, glob, pots, key, num_samples):
+        return gmm.run_inference(prior, glob, pots, key, num_samples,
+                                 num_meanfield_iters=20)
+
+    return (pgm_prior, pgm_params, (recogn_params, loglike_params),
+            run_inference)
+
+
+def test_gradfun_shapes_and_finiteness():
+    pgm_prior, pgm_params, net_params, run_inf = _build()
+    data = jnp.asarray(make_pinwheel(num_per_class=16), jnp.float64)
+    N = data.shape[0]
+    gradfun = elbo_lib.make_gradfun(
+        run_inf, recognition.mlp_recognize, decoders.mlp_loglike,
+        pgm_prior, N, num_samples=2)
+    elbo, natgrad, net_grads = gradfun(pgm_params, net_params, data[:16],
+                                       jax.random.PRNGKey(0))
+    assert np.isfinite(float(elbo))
+    assert jax.tree.structure(natgrad) == jax.tree.structure(pgm_params)
+    for leaf in jax.tree.leaves((natgrad, net_grads)):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+def test_natgrad_zero_at_conjugate_fixed_point():
+    """If pgm_params == prior + (N/B) * stats(batch), the natural gradient
+    must vanish -- the conjugacy identity the optimizer relies on
+    (SURVEY.md section 7, hard part 6)."""
+    pgm_prior, pgm_params, net_params, run_inf = _build()
+    data = jnp.asarray(make_pinwheel(num_per_class=8), jnp.float64)
+    N = B = data.shape[0]  # full batch: N/B = 1
+    gradfun = elbo_lib.make_gradfun(
+        run_inf, recognition.mlp_recognize, decoders.mlp_loglike,
+        pgm_prior, N, num_samples=1)
+    key = jax.random.PRNGKey(1)
+    # one E-step to get stats at current params
+    pots = recognition.mlp_recognize(net_params[0], data)
+    _, stats, _, _ = run_inf(pgm_prior, pgm_params, pots, key, 1)
+    fixed = jax.tree.map(lambda p, s: p + s, pgm_prior, stats)
+    _, natgrad, _ = gradfun(fixed, net_params, data, key)
+    # E-step at `fixed` params differs from E-step at pgm_params, so iterate
+    # once more: at a true joint fixed point the natgrad is exactly zero.
+    pots = recognition.mlp_recognize(net_params[0], data)
+    _, stats2, _, _ = run_inf(pgm_prior, fixed, pots, key, 1)
+    fixed2 = jax.tree.map(lambda p, s: p + s, pgm_prior, stats2)
+    diff = float(jnp.max(jnp.abs(flat(fixed2) - flat(fixed))))
+    _, natgrad2, _ = gradfun(fixed2, net_params, data, key)
+    # natgrad at fixed2 = (prior + stats(fixed2-Estep) - fixed2)/N; the
+    # E-step is a contraction here so the residual shrinks; check small.
+    assert float(jnp.max(jnp.abs(flat(natgrad2)))) < max(1e-6, diff)
+
+
+def test_training_improves_elbo_and_checkpoint_roundtrip(tmp_path):
+    pgm_prior, pgm_params, net_params, run_inf = _build()
+    data = jnp.asarray(make_pinwheel(num_per_class=16), jnp.float64)
+    N = data.shape[0]
+    opt_init, train_step = loop_lib.make_train_step(
+        run_inf, recognition.mlp_recognize, decoders.mlp_loglike,
+        pgm_prior, N, num_samples=2, pgm_step_size=0.5,
+        net_step_size=1e-2, donate=False)
+    opt_state = opt_init(pgm_params, net_params)
+    key = jax.random.PRNGKey(7)
+
+    p, n, s, hist = loop_lib.run(
+        train_step, pgm_params, net_params, opt_state, data, key,
+        num_epochs=6, batch_size=40, shuffle=False)
+    assert all(np.isfinite(hist))
+    assert np.mean(hist[-3:]) > np.mean(hist[:3])  # ELBO improved
+
+    # checkpoint round-trip reproduces continued training exactly
+    path = os.path.join(tmp_path, "ckpt_1.npz")
+    state = (p, n, s, key)
+    ckpt_lib.save(path, state)
+    p2, n2, s2, key2 = ckpt_lib.restore(path, state)
+    _, _, _, hist_a = loop_lib.run(train_step, p, n, s, data,
+                                   key, 1, 40, shuffle=False)
+    _, _, _, hist_b = loop_lib.run(train_step, p2, n2, s2, data,
+                                   jnp.asarray(key2), 1, 40, shuffle=False)
+    np.testing.assert_allclose(hist_a, hist_b, rtol=1e-12)
+
+
+def test_checkpoint_structure_mismatch_raises(tmp_path):
+    path = os.path.join(tmp_path, "c.npz")
+    ckpt_lib.save(path, {"a": jnp.zeros(3)})
+    with pytest.raises(ValueError):
+        ckpt_lib.restore(path, {"b": jnp.zeros(3)})
+    assert ckpt_lib.latest(tmp_path, prefix="c") is None
