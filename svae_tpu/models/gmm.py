@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from jax.scipy.special import logsumexp
 
 from svae_tpu.expfam import gaussian, niw, dirichlet
+from svae_tpu.utils.psd import f32_linalg
 from svae_tpu.utils.pytree import tree_sub, tree_dot
 
 
@@ -82,6 +83,7 @@ def _label_logits(e_logpi, gauss_globals, gauss_stats):
     return e_logpi + quad + lin + const
 
 
+@f32_linalg
 def local_meanfield(global_natparam, nn_potentials, num_iters=25,
                     num_diff_iters=2):
     """Block coordinate ascent on q(z) q(x) for a minibatch.
@@ -204,6 +206,7 @@ def prior_kl(global_natparam, prior_natparam):
 # --------------------------------------------------------------------------
 
 
+@f32_linalg
 def run_inference(prior_natparam, global_natparam, nn_potentials, key,
                   num_samples=1, num_meanfield_iters=25):
     """E-step + sampling + KLs (reference: svae/models/gmm.py:run_inference).

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 from svae_tpu.expfam import niw, mniw
 from svae_tpu.ops import kalman
+from svae_tpu.utils.psd import f32_linalg
 from svae_tpu.utils.pytree import tree_sub, tree_dot
 
 
@@ -147,6 +148,7 @@ def prior_kl(global_natparam, prior_natparam):
 # --------------------------------------------------------------------------
 
 
+@f32_linalg
 def run_inference(prior_natparam, global_natparam, nn_potentials, key,
                   num_samples=1, parallel=True):
     """E-step + sampling + KLs (reference: svae/models/lds.py:run_inference).

@@ -1,0 +1,282 @@
+"""SLDS-SVAE: switching linear dynamical system prior.
+
+(reference: svae/models/slds.py -- structured mean-field q(z) q(x)
+alternating HMM forward-backward with per-state expected Gaussian pair
+energies and Kalman smoothing with state-averaged pair potentials;
+SURVEY.md section 3.3.)
+
+Generative model: discrete Markov chain z_{1:T} (K states; Dirichlet priors
+on the initial distribution and each transition row), continuous chain
+x_{1:T} with x_1 ~ NIW-governed Gaussian and
+x_{t+1} | x_t, z_{t+1}=k ~ the k-th MNIW-governed linear-Gaussian dynamics.
+
+Global natparams: ``(init_dir (K,), trans_dir (K,K), niw, mniw_K)`` with the
+MNIW tuple batched over a leading K axis.
+
+The local KL reduces to the clean form (derivation: because the HMM's
+observation potentials L are linear in the q(x) pair stats with the same
+coefficients as the averaged pair potentials, the cross pairings cancel)
+
+  local_kl = <L, r> + <psi, x-stats> - logZ_hmm - logZ_lds
+
+with r the HMM node marginals, psi the recognition potentials.
+
+The mean-field loop runs stopped warmup sweeps + differentiable tail sweeps
+(same truncated-backprop-at-the-fixed-point semantics as models/gmm.py; the
+tail differentiates *through* hmm_marginals' internal grad, i.e.
+second-order AD -- the stress test SURVEY.md 3.3 calls out).
+"""
+
+import jax
+import jax.numpy as jnp
+
+from svae_tpu.expfam import niw, mniw, dirichlet
+from svae_tpu.ops import kalman, hmm
+from svae_tpu.models import lds as lds_model
+from svae_tpu.utils.psd import f32_linalg
+from svae_tpu.utils.pytree import tree_sub, tree_dot
+
+
+# --------------------------------------------------------------------------
+# global parameter init
+# --------------------------------------------------------------------------
+
+
+def init_pgm_param(key, K, d, alpha=1.0, kappa_sticky=5.0, niw_conc=10.0,
+                   mniw_conc=10.0, A_scale=0.9, Q_scale=0.1,
+                   dtype=jnp.float32):
+    """Random globals: sticky transition Dirichlet (diagonal boost
+    ``kappa_sticky``), shared init NIW, K MNIW dynamics factors centered at
+    distinct random rotations (symmetry breaking)."""
+    keys = jax.random.split(key, K + 1)
+    init_dir = dirichlet.standard_to_natural(alpha * jnp.ones((K,), dtype))
+    trans_alpha = alpha * jnp.ones((K, K), dtype) + kappa_sticky * jnp.eye(
+        K, dtype=dtype
+    )
+    trans_dir = dirichlet.standard_to_natural(trans_alpha)
+
+    niw_np = lds_model.init_pgm_param(keys[0], d, niw_conc=niw_conc,
+                                      dtype=dtype)[0]
+
+    def one_mniw(k):
+        _, mn = lds_model.init_pgm_param(k, d, mniw_conc=mniw_conc,
+                                         A_scale=A_scale, Q_scale=Q_scale,
+                                         dtype=dtype)
+        return mn
+
+    mniw_np = jax.tree.map(
+        lambda *xs: jnp.stack(xs), *[one_mniw(k) for k in keys[1:]]
+    )
+    return (init_dir, trans_dir, niw_np, mniw_np)
+
+
+def pgm_expectedstats(global_natparam):
+    init_dir, trans_dir, niw_np, mniw_np = global_natparam
+    return (
+        dirichlet.expectedstats(init_dir),
+        dirichlet.expectedstats(trans_dir),
+        niw.expectedstats(niw_np),
+        mniw.expectedstats(mniw_np),
+    )
+
+
+# --------------------------------------------------------------------------
+# structured mean-field E-step (single sequence)
+# --------------------------------------------------------------------------
+
+
+def _pair_energies(E_pair, x_pair_stats):
+    """L[t, k] = expected log-density of transition t under dynamics k,
+    evaluated at q(x)'s pair stats. Returns (T-1, K)."""
+    E1, E2, E3, const = E_pair  # (K,d,d), (K,d,d), (K,d,d), (K,)
+    ExxT_next, ExnT, ExxT_prev = x_pair_stats  # (T-1,d,d) each
+    return (
+        jnp.einsum("kij,tij->tk", E1, ExxT_next)
+        + jnp.einsum("kij,tij->tk", E2, ExnT)
+        + jnp.einsum("kij,tij->tk", E3, ExxT_prev)
+        + const
+    )
+
+
+def _averaged_pairs(E_pair, r_next):
+    """State-averaged pair potentials: Pbar_t = sum_k r_{t+1,k} E_k.
+    ``r_next`` is (T-1, K)."""
+    E1, E2, E3, const = E_pair
+    P1 = jnp.einsum("tk,kij->tij", r_next, E1)
+    P2 = jnp.einsum("tk,kij->tij", r_next, E2)
+    P3 = jnp.einsum("tk,kij->tij", r_next, E3)
+    Pc = r_next @ const
+    return (P1, P2, P3, Pc)
+
+
+def _x_pair_stats(Ex, ExxT, Exnxt):
+    """(E[x'x'^T], E[x'x^T], E[xx^T]) per transition, from smoother output
+    (Exnxt[t] = E[x_t x_{t+1}^T])."""
+    return (ExxT[1:], jnp.swapaxes(Exnxt, -1, -2), ExxT[:-1])
+
+
+@f32_linalg
+def local_meanfield(global_natparam, nn_potentials, num_iters=15,
+                    num_diff_iters=1, parallel=True):
+    """Structured mean-field for one sequence.
+
+    ``nn_potentials`` = (J_diag, h), each (T, d). Returns
+    ``(hmm_post, lds_post, local_kl)`` where
+    ``hmm_post = (logZ_hmm, r (T,K), trans_pair_stats, r1)`` and
+    ``lds_post = (logZ_lds, (init, pairs, nodes), (Ex, ExxT, Exnxt))``.
+    """
+    init_dir, trans_dir, niw_np, mniw_np = global_natparam
+    e_pi0 = dirichlet.expectedstats(init_dir)  # (K,)
+    e_Pi = dirichlet.expectedstats(trans_dir)  # (K,K)
+    (I1, I2), Ic = niw.expected_gaussian_natparam(niw_np)
+    E_pair = mniw.expected_pair_potential(mniw_np)  # K-batched
+
+    J_diag, h = nn_potentials
+    T = h.shape[0]
+    K = e_pi0.shape[0]
+    nodes = lds_model._node_potentials((J_diag, h))
+    chain_init = (I1, I2, Ic)
+
+    def x_step(r_next, params):
+        e_pair, ci, nds = params
+        pairs = _averaged_pairs(e_pair, r_next)
+        logZ_x, Ex, ExxT, Exnxt = kalman.lds_smoother(ci, pairs, nds,
+                                                      parallel=parallel)
+        return logZ_x, pairs, (Ex, ExxT, Exnxt)
+
+    def z_step(xps, params):
+        e_pair, epi0, ePi = params
+        L = _pair_energies(e_pair, xps)  # (T-1, K)
+        log_obs = jnp.concatenate([jnp.zeros((1, K), L.dtype), L], axis=0)
+        logZ_z, r, pair_marg, r1 = hmm.hmm_marginals(epi0, ePi, log_obs,
+                                                     parallel=parallel)
+        return logZ_z, L, r, pair_marg, r1
+
+    def sweep(r, params):
+        (e_pair, ci, nds, epi0, ePi) = params
+        _, _, (Ex, ExxT, Exnxt) = x_step(r[1:], (e_pair, ci, nds))
+        _, _, r_new, _, _ = z_step(_x_pair_stats(Ex, ExxT, Exnxt),
+                                   (e_pair, epi0, ePi))
+        return r_new
+
+    sg = jax.lax.stop_gradient
+    num_diff = min(num_diff_iters, num_iters)
+    warm = num_iters - num_diff
+    r0 = jnp.full((T, K), 1.0 / K, h.dtype)
+    params = (E_pair, chain_init, nodes, e_pi0, e_Pi)
+    if warm > 0:
+        params_sg = sg(params)
+        r0, _ = jax.lax.scan(
+            lambda r, _: (sweep(r, params_sg), None), r0, None, length=warm
+        )
+        r0 = sg(r0)
+    r = r0
+    for _ in range(num_diff):  # differentiable tail (unrolled: few iters)
+        r = sweep(r, params)
+
+    # final differentiable half-sweeps for the posterior factors used by
+    # stats / sampling / KL
+    logZ_x, pairs_bar, (Ex, ExxT, Exnxt) = x_step(r[1:],
+                                                  (E_pair, chain_init, nodes))
+    xps = _x_pair_stats(Ex, ExxT, Exnxt)
+    logZ_z, L, r, trans_pair_stats, r1 = z_step(xps, (E_pair, e_pi0, e_Pi))
+
+    N1, N2 = nodes
+    psi_term = jnp.sum(N1 * ExxT) + jnp.sum(N2 * Ex)
+    Lr_term = jnp.sum(r[1:] * L)
+    local_kl = Lr_term + psi_term - logZ_z - logZ_x
+
+    hmm_post = (logZ_z, r, trans_pair_stats, r1)
+    lds_post = (logZ_x, (chain_init, pairs_bar, nodes), (Ex, ExxT, Exnxt))
+    return hmm_post, lds_post, local_kl
+
+
+# --------------------------------------------------------------------------
+# stats / KL / contract
+# --------------------------------------------------------------------------
+
+
+def _sequence_stats(r, trans_pair_stats, r1, Ex, ExxT, Exnxt):
+    """Stats congruent with (init_dir, trans_dir, niw, mniw_K)."""
+    one = jnp.ones((), Ex.dtype)
+    init_dir_stats = r1
+    trans_dir_stats = trans_pair_stats  # summed over t by hmm_marginals
+    niw_stats = (ExxT[0], Ex[0], one, one)
+    r_next = r[1:]  # (T-1, K)
+    ExnT = jnp.swapaxes(Exnxt, -1, -2)
+    mniw_stats = (
+        jnp.einsum("tk,tij->kij", r_next, ExxT[1:]),
+        jnp.einsum("tk,tij->kij", r_next, ExnT),
+        jnp.einsum("tk,tij->kij", r_next, ExxT[:-1]),
+        jnp.sum(r_next, axis=0),
+    )
+    return (init_dir_stats, trans_dir_stats, niw_stats, mniw_stats)
+
+
+def prior_kl(global_natparam, prior_natparam):
+    """KL(q(theta) || p(theta)) over all four conjugate factors."""
+    iq, tq, nq, mq = global_natparam
+    ip, tp, np_, mp = prior_natparam
+
+    def dir_kl(q, p):
+        return (
+            jnp.sum((q - p) * dirichlet.expectedstats(q))
+            - dirichlet.logZ(q)
+            + dirichlet.logZ(p)
+        )
+
+    niw_kl = (
+        tree_dot(tree_sub(nq, np_), niw.expectedstats(nq))
+        - jnp.sum(niw.logZ(nq))
+        + jnp.sum(niw.logZ(np_))
+    )
+    mniw_kl = (
+        tree_dot(tree_sub(mq, mp), mniw.expectedstats(mq))
+        - jnp.sum(mniw.logZ(mq))
+        + jnp.sum(mniw.logZ(mp))
+    )
+    return dir_kl(iq, ip) + dir_kl(tq, tp) + niw_kl + mniw_kl
+
+
+def _sequence_inference(global_natparam, nn_potentials, key, num_samples,
+                        num_iters, num_diff_iters, parallel=True):
+    hmm_post, lds_post, local_kl = local_meanfield(
+        global_natparam, nn_potentials, num_iters, num_diff_iters,
+        parallel=parallel
+    )
+    _, r, trans_pair_stats, r1 = hmm_post
+    _, (ci, pairs_bar, nodes), (Ex, ExxT, Exnxt) = lds_post
+    samples = kalman.lds_sample(ci, pairs_bar, nodes, key, num_samples,
+                                parallel=parallel)
+    stats = _sequence_stats(r, trans_pair_stats, r1, Ex, ExxT, Exnxt)
+    return samples, stats, local_kl
+
+
+@f32_linalg
+def run_inference(prior_natparam, global_natparam, nn_potentials, key,
+                  num_samples=1, num_meanfield_iters=15, num_diff_iters=1,
+                  parallel=True):
+    """E-step + sampling + KLs (reference: svae/models/slds.py:run_inference).
+
+    ``nn_potentials`` = (J_diag, h), each (T, d) or (B, T, d). Returns
+    (samples, stats, global_kl, local_kl); samples are continuous latents
+    x ~ q(x), shaped (S, T, d) or (B, S, T, d).
+    """
+    J_diag, h = nn_potentials
+    batched = J_diag.ndim == 3
+    if batched:
+        B = J_diag.shape[0]
+        keys = jax.random.split(key, B)
+        samples, stats, lkls = jax.vmap(
+            lambda p, k: _sequence_inference(
+                global_natparam, p, k, num_samples, num_meanfield_iters,
+                num_diff_iters, parallel=parallel)
+        )((J_diag, h), keys)
+        stats = jax.tree.map(lambda s: jnp.sum(s, axis=0), stats)
+        local_kl = jnp.sum(lkls)
+    else:
+        samples, stats, local_kl = _sequence_inference(
+            global_natparam, (J_diag, h), key, num_samples,
+            num_meanfield_iters, num_diff_iters, parallel=parallel)
+    global_kl = prior_kl(global_natparam, prior_natparam)
+    return samples, stats, global_kl, local_kl

@@ -21,9 +21,29 @@ import jax.numpy as jnp
 from jax.scipy.special import logsumexp
 
 
+@jax.custom_vjp
 def _logmatmul(A, B):
     """Stable log-space matrix product C(i,k) = logsumexp_j A(i,j)+B(j,k),
-    batched over leading axes, MXU-friendly."""
+    batched over leading axes, MXU-friendly.
+
+    Carries a hand-written VJP: the AD-derived backward of log(exp-matmul)
+    forms 1/prod reciprocals that overflow/NaN in f32 on TPU once messages
+    sharpen (underflowed prod entries; whether the NaN materializes is XLA
+    fusion-order dependent -- observed in the SLDS mean-field). The custom
+    backward uses the softmax-weight form
+
+        dC/dA(i,j) = sum_k ct(i,k) W(i,j,k),
+        W(i,j,k)   = exp(A(i,j) + B(j,k) - C(i,k)) in [0, 1],
+
+    computed as two matmuls with every intermediate bounded by
+    |ct| / floor with floor = sqrt(tiny), so nothing can overflow. Clamped
+    entries sit >= 43 nats below the row max (value error ~1e-19: nil).
+    """
+    C, _ = _logmatmul_fwd(A, B)
+    return C
+
+
+def _logmatmul_fwd(A, B):
     Ma = jnp.max(A, axis=-1, keepdims=True)  # (..., K, 1)
     Mb = jnp.max(B, axis=-2, keepdims=True)  # (..., 1, K)
     Ma = jnp.where(jnp.isfinite(Ma), Ma, 0.0)
@@ -31,7 +51,21 @@ def _logmatmul(A, B):
     Ea = jnp.exp(A - Ma)
     Eb = jnp.exp(B - Mb)
     prod = jnp.matmul(Ea, Eb)
-    return jnp.log(prod) + Ma + Mb
+    floor = jnp.sqrt(jnp.finfo(prod.dtype).tiny)
+    prodc = jnp.maximum(prod, floor)
+    C = jnp.log(prodc) + Ma + Mb
+    return C, (Ea, Eb, prodc)
+
+
+def _logmatmul_bwd(res, ct):
+    Ea, Eb, prodc = res
+    S = ct / prodc  # bounded by |ct| * 9.2e18 (f32): no overflow possible
+    gA = Ea * jnp.matmul(S, jnp.swapaxes(Eb, -1, -2))
+    gB = Eb * jnp.matmul(jnp.swapaxes(Ea, -1, -2), S)
+    return gA, gB
+
+
+_logmatmul.defvjp(_logmatmul_fwd, _logmatmul_bwd)
 
 
 def _elements(log_trans, log_obs):

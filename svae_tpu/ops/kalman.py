@@ -41,7 +41,7 @@ import jax
 import jax.numpy as jnp
 import jax.scipy.linalg as jsl
 
-from svae_tpu.utils.psd import symmetrize
+from svae_tpu.utils.psd import symmetrize, f32_linalg
 
 LOG2PI = jnp.log(2.0 * jnp.pi)
 
@@ -170,6 +170,7 @@ def _total_element(leaves, parallel):
         return total, prefix
 
 
+@f32_linalg
 def lds_logZ(init, pairs, nodes, parallel=True):
     """Log-partition of the chain. Differentiable: grads w.r.t. nodes/pairs
     give the smoothed expected stats (the reference's core contract,
@@ -180,6 +181,7 @@ def lds_logZ(init, pairs, nodes, parallel=True):
     return _gauss_logZ_info(J, h, c)
 
 
+@f32_linalg
 def lds_filter(init, pairs, nodes, parallel=True):
     """Forward filter: returns (logZ, Jf, hf) where (Jf[t], hf[t]) is the
     filtered info-form potential on x_t (node_t conditioned), t = 1..T.
@@ -200,6 +202,7 @@ def lds_filter(init, pairs, nodes, parallel=True):
     return logZ, Jf, hf
 
 
+@f32_linalg
 def lds_smoother(init, pairs, nodes, parallel=True):
     """Two-filter parallel smoother.
 
@@ -299,6 +302,7 @@ def _solve_psd_batched(a, b):
 # --------------------------------------------------------------------------
 
 
+@f32_linalg
 def lds_sample(init, pairs, nodes, key, num_samples, parallel=True):
     """Reparameterized joint posterior samples, shape (num_samples, T, d).
 
@@ -376,6 +380,7 @@ def lds_sample(init, pairs, nodes, key, num_samples, parallel=True):
 # --------------------------------------------------------------------------
 
 
+@f32_linalg
 def lds_inference(init, pairs, nodes, key, num_samples, parallel=True):
     """Full LDS E-step: (samples, (Ex, ExxT, Exnxt), logZ).
 

@@ -6,10 +6,32 @@ and triangular solves lower to dense vectorized XLA ops) and
 dtype-polymorphic; they ``vmap``/``scan`` cleanly. Precisions are
 symmetrized before factorization -- the f32 numerics mitigation called out in
 SURVEY.md section 7 (hard part 1).
+
+TPU precision note: the MXU's default f32 matmul truncates operands to
+bfloat16, which is enough to break positive-definiteness inside chained
+Schur complements (observed: NaNs in the SLDS E-step on-device). All
+factorizations/solves here therefore run under
+``jax.default_matmul_precision("float32")`` -- these are tiny (d x d)
+matmuls, so full-precision passes cost nothing; the large recognition-net /
+HMM matmuls elsewhere keep the fast default.
 """
 
+from functools import wraps
+
+import jax
 import jax.numpy as jnp
 import jax.scipy.linalg as jsl
+
+
+def f32_linalg(fn):
+    """Trace ``fn`` under full-f32 matmul precision (see module docstring)."""
+
+    @wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("float32"):
+            return fn(*args, **kwargs)
+
+    return wrapped
 
 
 def symmetrize(a):
@@ -17,27 +39,32 @@ def symmetrize(a):
     return 0.5 * (a + jnp.swapaxes(a, -1, -2))
 
 
+@f32_linalg
 def _chol(a):
     return jnp.linalg.cholesky(symmetrize(a))
 
 
+@f32_linalg
 def solve_psd(a, b):
     """Solve ``a x = b`` for symmetric positive-definite ``a``."""
     L = _chol(a)
     return jsl.cho_solve((L, True), b)
 
 
+@f32_linalg
 def cho_solve_psd(L, b):
     """Solve given a precomputed lower-Cholesky factor."""
     return jsl.cho_solve((L, True), b)
 
 
+@f32_linalg
 def logdet_psd(a):
     """log|a| for symmetric positive-definite ``a`` (batched ok)."""
     L = _chol(a)
     return 2.0 * jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
 
 
+@f32_linalg
 def inv_psd(a):
     """Inverse of a symmetric positive-definite matrix via Cholesky."""
     L = _chol(a)
@@ -45,6 +72,7 @@ def inv_psd(a):
     return cho_solve_psd(L, eye)
 
 
+@f32_linalg
 def mvn_logZ_info(J, h):
     """Log-partition of an unnormalized Gaussian in info form.
 

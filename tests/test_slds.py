@@ -1,0 +1,126 @@
+"""SLDS-SVAE tests. The load-bearing oracle: a K=1 SLDS is exactly an LDS,
+so local KL, stats, and samples must match models/lds.py on the same
+potentials."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from svae_tpu.models import lds, slds
+
+KEY = jax.random.PRNGKey(3)
+
+
+def _setup(K=3, d=2, T=8, seed=0):
+    glob = slds.init_pgm_param(jax.random.PRNGKey(seed), K, d,
+                               dtype=jnp.float64)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(seed + 1))
+    J = jax.nn.softplus(jax.random.normal(k1, (T, d), jnp.float64)) + 0.5
+    h = jax.random.normal(k2, (T, d), jnp.float64)
+    return glob, (J, h)
+
+
+def test_k1_slds_reduces_to_lds():
+    glob, pots = _setup(K=1, seed=4)
+    init_dir, trans_dir, niw_np, mniw_np = glob
+    mniw_single = jax.tree.map(lambda a: a[0], mniw_np)
+    lds_glob = (niw_np, mniw_single)
+
+    s_slds, st_slds, _, kl_slds = slds.run_inference(
+        glob, glob, pots, KEY, num_samples=2, num_meanfield_iters=3)
+    s_lds, st_lds, _, kl_lds = lds.run_inference(
+        lds_glob, lds_glob, pots, KEY, num_samples=2)
+
+    # K=1: HMM is deterministic, logZ_hmm = sum of energies = <L, r>, so
+    # local_kl reduces to the LDS local_kl.
+    np.testing.assert_allclose(float(kl_slds), float(kl_lds), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(s_slds), np.asarray(s_lds),
+                               atol=1e-8)
+    _, _, niw_stats_s, mniw_stats_s = st_slds
+    niw_stats_l, mniw_stats_l = st_lds
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a).squeeze(), np.asarray(b), atol=1e-8),
+        (niw_stats_s, mniw_stats_s), (niw_stats_l, mniw_stats_l))
+
+
+def test_stats_congruent_and_counts():
+    glob, pots = _setup(K=3, T=9)
+    samples, stats, gkl, lkl = slds.run_inference(
+        glob, glob, pots, KEY, num_samples=2, num_meanfield_iters=10)
+    assert jax.tree.structure(stats) == jax.tree.structure(glob)
+    init_s, trans_s, niw_s, mniw_s = stats
+    T = pots[0].shape[0]
+    np.testing.assert_allclose(float(jnp.sum(init_s)), 1.0, rtol=1e-6)
+    np.testing.assert_allclose(float(jnp.sum(trans_s)), T - 1, rtol=1e-6)
+    np.testing.assert_allclose(float(jnp.sum(mniw_s[3])), T - 1, rtol=1e-6)
+    assert samples.shape == (2, T, 2)
+
+
+def test_local_kl_nonnegative_and_finite():
+    glob, pots = _setup(K=4, T=12, seed=9)
+    _, _, gkl, lkl = slds.run_inference(glob, glob, pots, KEY,
+                                        num_meanfield_iters=12)
+    assert np.isfinite(float(lkl)) and float(lkl) >= -1e-6
+    assert abs(float(gkl)) < 1e-6  # prior == global
+
+
+def test_meanfield_stationary():
+    glob, pots = _setup(K=3, T=7, seed=2)
+    h1, l1, kl1 = slds.local_meanfield(glob, pots, num_iters=80)
+    h2, l2, kl2 = slds.local_meanfield(glob, pots, num_iters=81)
+    np.testing.assert_allclose(np.asarray(h1[1]), np.asarray(h2[1]),
+                               atol=1e-7)
+    np.testing.assert_allclose(float(kl1), float(kl2), rtol=1e-7)
+
+
+def test_sequential_and_parallel_agree():
+    glob, pots = _setup(K=3, T=8, seed=5)
+    s1, st1, _, l1 = slds.run_inference(glob, glob, pots, KEY, 2,
+                                        num_meanfield_iters=6, parallel=True)
+    s2, st2, _, l2 = slds.run_inference(glob, glob, pots, KEY, 2,
+                                        num_meanfield_iters=6,
+                                        parallel=False)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-7)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-7)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a),
+                                                np.asarray(b), atol=1e-7),
+        st1, st2)
+
+
+def test_batched_matches_sum_of_sequences():
+    glob, _ = _setup(K=2, T=6)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(11))
+    J = jax.nn.softplus(jax.random.normal(k1, (3, 6, 2), jnp.float64)) + 0.5
+    h = jax.random.normal(k2, (3, 6, 2), jnp.float64)
+    _, stats_b, _, kl_b = slds.run_inference(glob, glob, (J, h), KEY,
+                                             num_meanfield_iters=5)
+    keys = jax.random.split(KEY, 3)
+    kls, stats_list = [], []
+    for b in range(3):
+        _, st, _, kl = slds.run_inference(glob, glob, (J[b], h[b]),
+                                          keys[b], num_meanfield_iters=5)
+        kls.append(float(kl))
+        stats_list.append(st)
+    np.testing.assert_allclose(float(kl_b), sum(kls), rtol=1e-7)
+    summed = jax.tree.map(lambda *xs: sum(np.asarray(x) for x in xs),
+                          *stats_list)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), b, atol=1e-7),
+        stats_b, summed)
+
+
+def test_gradients_flow_and_finite():
+    glob, pots = _setup(K=2, T=6, seed=6)
+
+    def f(pots):
+        _, _, _, kl = slds.run_inference(glob, glob, pots, KEY,
+                                         num_meanfield_iters=8,
+                                         num_diff_iters=1)
+        return kl
+
+    g = jax.grad(f)(pots)
+    for leaf in jax.tree.leaves(g):
+        assert np.all(np.isfinite(np.asarray(leaf)))
