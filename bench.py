@@ -1,0 +1,114 @@
+"""Headline benchmark (driver-run on the real chip).
+
+Measures LDS-SVAE SVI throughput (BASELINE config 2: bouncing-dot
+sequences, T=100) as end-to-end training-step sequences/sec on one chip --
+recognition MLP + associative-scan Kalman E-step (smoother + 2-particle
+sampler) + decoder ELBO + natural-gradient/adam update, all inside one
+jitted step.
+
+``vs_baseline`` divides by the measured throughput of the sequential
+float64 NumPy E-step oracle (svae_tpu/ops/oracles.py) on this host's CPU --
+the stand-in for the reference implementation's per-sequence Kalman message
+passing while the reference mount is empty (BASELINE.md measurement plan;
+the oracle is the same O(T) recursion the reference's Cython implements,
+and the denominator omits the oracle's would-be net/decoder cost, which is
+conservative in the reference's favor).
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def measure_tpu_steps(B=64, T=100, d_obs=20, d_latent=10, num_samples=2,
+                      iters=20):
+    import jax
+    import jax.numpy as jnp
+    from svae_tpu.data import make_dot_data
+    from svae_tpu.models import lds
+    from svae_tpu.nets import recognition, decoders
+    from svae_tpu.train import loop as loop_lib
+
+    data = jnp.asarray(make_dot_data(num_seqs=B, T=T, image_width=d_obs))
+    N = 50 * B
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    pgm_prior = lds.init_pgm_param(k1, d_latent)
+    pgm_params = lds.init_pgm_param(k2, d_latent)
+    net_params = (
+        recognition.init_mlp_recognize(k3, d_obs, (64,), d_latent),
+        decoders.init_mlp_decode(k4, d_latent, (64,), d_obs),
+    )
+    opt_init, train_step = loop_lib.make_train_step(
+        lds.run_inference, recognition.mlp_recognize, decoders.mlp_loglike,
+        pgm_prior, N, num_samples=num_samples, donate=False,
+    )
+    opt_state = opt_init(pgm_params, net_params)
+
+    p, n, s = pgm_params, net_params, opt_state
+    # warmup/compile
+    p, n, s, e = train_step(p, n, s, data, jax.random.PRNGKey(1))
+    jax.block_until_ready(e)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        p, n, s, e = train_step(p, n, s, data, jax.random.PRNGKey(2 + i))
+    jax.block_until_ready(e)
+    dt = (time.perf_counter() - t0) / iters
+    assert bool(np.isfinite(float(e))), "non-finite ELBO in benchmark"
+    return B / dt, dt
+
+
+def measure_cpu_oracle(T=100, d_latent=10, reps=8):
+    """Sequential f64 NumPy smoother+sampler per-sequence time (the
+    reference-equivalent E-step)."""
+    from svae_tpu.ops import oracles
+
+    rng = np.random.RandomState(0)
+    d = d_latent
+    A = 0.9 * np.linalg.qr(rng.randn(d, d))[0]
+    Q = 0.1 * np.eye(d)
+    I1 = -0.5 * np.eye(d)
+    I2 = np.zeros(d)
+    Ic = 0.0
+    Qi = np.linalg.inv(Q)
+    P1 = np.tile(-0.5 * Qi, (T - 1, 1, 1))
+    P2 = np.tile(Qi @ A, (T - 1, 1, 1))
+    P3 = np.tile(-0.5 * A.T @ Qi @ A, (T - 1, 1, 1))
+    Pc = np.zeros(T - 1)
+    N1 = np.tile(-0.5 * np.eye(d), (T, 1, 1))
+    N2 = rng.randn(T, d)
+    init, pairs, nodes = (I1, I2, Ic), (P1, P2, P3, Pc), (N1, N2)
+    eps = rng.randn(T, d)
+    # warmup
+    oracles.lds_smoother_seq(init, pairs, nodes)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        oracles.lds_smoother_seq(init, pairs, nodes)
+        oracles.lds_sample_seq(init, pairs, nodes, eps)
+        oracles.lds_sample_seq(init, pairs, nodes, eps)  # 2 particles
+    dt = (time.perf_counter() - t0) / reps
+    return 1.0 / dt
+
+
+def main():
+    seqs_per_sec, step_dt = measure_tpu_steps()
+    cpu_seqs_per_sec = measure_cpu_oracle()
+    print(
+        json.dumps(
+            {
+                "metric": "lds_svae_T100_train_seqs_per_sec_per_chip",
+                "value": round(seqs_per_sec, 2),
+                "unit": "seqs/sec",
+                "vs_baseline": round(seqs_per_sec / cpu_seqs_per_sec, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

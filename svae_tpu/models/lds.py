@@ -156,7 +156,8 @@ def run_inference(prior_natparam, global_natparam, nn_potentials, key,
     ``nn_potentials`` = (J_diag, h), each (T, d) for a single sequence or
     (B, T, d) for a minibatch (vmapped over B; per-sequence stats and KLs
     are summed). Returns (samples, stats, global_kl, local_kl) with samples
-    shaped (S, T, d) or (B, S, T, d).
+    shaped (S, T, d) or (S, B, T, d) -- sample axes lead, per the decoder
+    loglike contract (svae_tpu/nets/decoders.py).
     """
     J_diag, h = nn_potentials
     batched = J_diag.ndim == 3
@@ -171,6 +172,7 @@ def run_inference(prior_natparam, global_natparam, nn_potentials, key,
             lambda p, k: _sequence_inference(init, pairs, p, k, num_samples,
                                              parallel=parallel)
         )((J_diag, h), keys)
+        samples = jnp.moveaxis(samples, 0, 1)  # (B, S, T, d) -> (S, B, T, d)
         stats = jax.tree.map(lambda s: jnp.sum(s, axis=0), stats)
         local_kl = jnp.sum(local_kls)
     else:

@@ -260,7 +260,8 @@ def run_inference(prior_natparam, global_natparam, nn_potentials, key,
 
     ``nn_potentials`` = (J_diag, h), each (T, d) or (B, T, d). Returns
     (samples, stats, global_kl, local_kl); samples are continuous latents
-    x ~ q(x), shaped (S, T, d) or (B, S, T, d).
+    x ~ q(x), shaped (S, T, d) or (S, B, T, d) -- sample axes lead, per the
+    decoder loglike contract (svae_tpu/nets/decoders.py).
     """
     J_diag, h = nn_potentials
     batched = J_diag.ndim == 3
@@ -272,6 +273,7 @@ def run_inference(prior_natparam, global_natparam, nn_potentials, key,
                 global_natparam, p, k, num_samples, num_meanfield_iters,
                 num_diff_iters, parallel=parallel)
         )((J_diag, h), keys)
+        samples = jnp.moveaxis(samples, 0, 1)  # (B, S, T, d) -> (S, B, T, d)
         stats = jax.tree.map(lambda s: jnp.sum(s, axis=0), stats)
         local_kl = jnp.sum(lkls)
     else:

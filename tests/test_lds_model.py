@@ -43,7 +43,7 @@ def test_stats_congruent_with_globals():
                                                  num_samples=2)
     assert jax.tree.structure(stats) == jax.tree.structure(glob)
     B, T, d = pots[0].shape
-    assert samples.shape == (B, 2, T, d)
+    assert samples.shape == (2, B, T, d)
     niw_stats, mniw_stats = stats
     np.testing.assert_allclose(float(niw_stats[2]), B, rtol=1e-12)
     np.testing.assert_allclose(float(mniw_stats[3]), B * (T - 1), rtol=1e-12)
