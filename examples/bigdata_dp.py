@@ -1,0 +1,92 @@
+"""Large-batch data-parallel natural-gradient SVI (BASELINE config 5):
+LDS-SVAE over a large synthetic sequence corpus, sharded across all
+available devices with psum of natural-gradient statistics.
+
+On a multi-host pod slice, launch one process per host (the script calls
+``jax.distributed`` via svae_tpu.parallel.multihost). Single-host it uses
+every local device; on CPU set
+``XLA_FLAGS=--xla_force_host_platform_device_count=8`` to exercise the
+collective paths.
+
+    python examples/bigdata_dp.py [--preset bigdata_dp_smoke] ...
+"""
+
+import sys
+import os
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+from svae_tpu.config import parse_config
+from svae_tpu.data import make_dot_data
+from svae_tpu.models import lds
+from svae_tpu.nets import recognition, decoders
+from svae_tpu.parallel import make_mesh, make_dp_train_step, multihost
+from svae_tpu.train.metrics import MetricsWriter
+
+
+def main(argv=None):
+    cfg = parse_config("bigdata_dp", argv)
+    tc = cfg.train
+    if "COORDINATOR_ADDRESS" in os.environ:  # multi-host pod launch
+        multihost.initialize()
+
+    mesh = make_mesh(data=cfg.data_parallel, mc=cfg.mc_parallel)
+    print(f"mesh: {dict(mesh.shape)} over {len(jax.devices())} devices")
+
+    key = jax.random.PRNGKey(tc.seed)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+
+    # synthesize a shard of the corpus per host (stands in for a sharded
+    # data loader over a 1M-sequence corpus)
+    data = jnp.asarray(make_dot_data(
+        seed=tc.seed + jax.process_index(), num_seqs=cfg.num_seqs,
+        T=cfg.T, image_width=cfg.image_width))
+    N = cfg.num_seqs * jax.process_count()
+
+    pgm_prior = lds.init_pgm_param(k1, cfg.d_latent)
+    pgm_params = lds.init_pgm_param(k2, cfg.d_latent)
+    net_params = (
+        recognition.init_mlp_recognize(k3, cfg.image_width, cfg.hidden,
+                                       cfg.d_latent),
+        decoders.init_mlp_decode(k4, cfg.d_latent, cfg.hidden,
+                                 cfg.image_width),
+    )
+
+    Bg = tc.batch_size
+    opt_init, train_step = make_dp_train_step(
+        lds.run_inference, recognition.mlp_recognize, decoders.mlp_loglike,
+        pgm_prior, N, mesh, Bg, num_samples=tc.num_samples,
+        natgrad_scale=tc.natgrad_scale, pgm_step_size=tc.pgm_step_size,
+        net_step_size=tc.net_step_size, donate=False)
+    opt_state = opt_init(pgm_params, net_params)
+
+    writer = MetricsWriter(tc.metrics_path)
+    num_batches = data.shape[0] // Bg
+    hist = []
+    p, n, s = pgm_params, net_params, opt_state
+    step = 0
+    t0 = time.perf_counter()
+    for epoch in range(tc.num_epochs):
+        for b in range(num_batches):
+            batch = data[b * Bg:(b + 1) * Bg]
+            key, k = jax.random.split(key)
+            p, n, s, e = train_step(p, n, s, batch, k)
+            hist.append(float(e))
+            writer.write(step, elbo=hist[-1])
+            step += 1
+    jax.block_until_ready(e)
+    dt = time.perf_counter() - t0
+    multihost.assert_replicated_consistent(p, mesh)
+    writer.close()
+    print(f"steps={len(hist)} first_elbo={hist[0]:.4f} "
+          f"last_elbo={hist[-1]:.4f} "
+          f"seqs/sec={len(hist) * Bg / dt:.1f}")
+    return hist
+
+
+if __name__ == "__main__":
+    main()

@@ -44,7 +44,10 @@ def init_conv_recognize(
     LDS models (BASELINE config 4: conv recognition net, T=500).
 
     ``frame_shape`` = (H, W) or (H, W, C); frames are treated independently
-    (the temporal structure lives in the PGM, not the recognizer).
+    (the temporal structure lives in the PGM, not the recognizer). The
+    frame shape is STATIC: apply with ``make_conv_recognize(frame_shape)``
+    (or pass it to :func:`conv_recognize`), it is not part of the param
+    pytree (grad-able leaves only).
     """
     if len(frame_shape) == 2:
         frame_shape = tuple(frame_shape) + (1,)
@@ -67,25 +70,63 @@ def init_conv_recognize(
         h_out, w_out = (h_out + 1) // 2, (w_out + 1) // 2
     feat = h_out * w_out * c_in
     head = mlp_lib.init_gaussian_head(keys[-1], feat, d_latent, dtype=dtype)
-    return (tuple(convs), head, (H, W, C))
+    return (tuple(convs), head)
 
 
-def conv_recognize(params, data):
+def _conv2d_im2col(x, Wk, stride=2):
+    """SAME-padded strided conv as phase-decomposed im2col.
+
+    Why not ``lax.conv`` (or even plain strided slices): XLA:TPU's fusion
+    emitter crashes ("TransformWindow: Loop will not make progress",
+    fusion_util.cc) on the backward of strided window ops at small spatial
+    shapes -- and it pattern-matches strided slices back into windows. So
+    the conv is built exclusively from window-free ops: pad -> reshape the
+    spatial axes into (position, stride-phase) -> k*k STRIDE-1 slices of
+    the phase planes -> concat -> one MXU matmul. The tap at output o,
+    kernel offset d lives at padded index s*o + d = s*(o + d//s) + d%s,
+    i.e. phase d%s, position o + d//s: a contiguous slice.
+
+    x: (N, H, W, C), Wk: (k, k, C, C_out).
+    """
+    N, H, W, C = x.shape
+    k = Wk.shape[0]
+    s = stride
+    Ho = -(-H // s)
+    Wo = -(-W // s)
+    qmax = (k - 1) // s
+    pad_h_low = max(((Ho - 1) * s + k - H) // 2, 0)
+    pad_w_low = max(((Wo - 1) * s + k - W) // 2, 0)
+    Hp = s * (Ho + qmax)
+    Wp = s * (Wo + qmax)
+    xp = jnp.pad(x, ((0, 0), (pad_h_low, Hp - H - pad_h_low),
+                     (pad_w_low, Wp - W - pad_w_low), (0, 0)))
+    ph = xp.reshape(N, Hp // s, s, Wp // s, s, C)
+    cols = []
+    for di in range(k):
+        qi, ri = di // s, di % s
+        for dj in range(k):
+            qj, rj = dj // s, dj % s
+            cols.append(ph[:, qi:qi + Ho, ri, qj:qj + Wo, rj, :])
+    patches = jnp.concatenate(cols, axis=-1)  # (N, Ho, Wo, k*k*C)
+    Wmat = Wk.reshape(k * k * C, -1)
+    return patches @ Wmat
+
+
+def conv_recognize(params, data, frame_shape):
     """data (..., H*W*C) or (..., H, W, C) -> (J_diag, h) on (..., d_latent).
 
-    Stride-2 tanh convs; all leading axes (batch, time) are flattened into a
-    single batch dim for the conv, then restored -- the MXU sees one large
-    batched conv instead of a scan over frames.
+    Stride-2 tanh convs (im2col formulation, see :func:`_conv2d_im2col`);
+    all leading axes (batch, time) are flattened into a single batch dim,
+    so the MXU sees one large batched matmul instead of a scan over frames.
     """
-    convs, head, (H, W, C) = params
+    if len(frame_shape) == 2:
+        frame_shape = tuple(frame_shape) + (1,)
+    H, W, C = frame_shape
+    convs, head = params
     lead = data.shape[: data.ndim - 1] if data.ndim >= 1 else ()
     x = data.reshape((-1, H, W, C))
     for Wk, b in convs:
-        x = jax.lax.conv_general_dilated(
-            x, Wk, window_strides=(2, 2), padding="SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
-        x = jnp.tanh(x + b)
+        x = jnp.tanh(_conv2d_im2col(x, Wk) + b)
     x = x.reshape((x.shape[0], -1))
     J_diag, h = mlp_lib.gaussian_info_head(head, x)
     d_latent = h.shape[-1]
@@ -93,3 +134,13 @@ def conv_recognize(params, data):
         J_diag.reshape(lead + (d_latent,)),
         h.reshape(lead + (d_latent,)),
     )
+
+
+def make_conv_recognize(frame_shape):
+    """Close over the static frame shape -> ``recognize(params, data)``
+    usable directly as the training core's recognize function."""
+
+    def recognize(params, data):
+        return conv_recognize(params, data, frame_shape)
+
+    return recognize

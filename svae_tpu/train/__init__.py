@@ -11,6 +11,6 @@
   * ``metrics``    - JSONL/CSV metric writer and step timing.
 """
 
-from svae_tpu.train import elbo, optim, loop, checkpoint, metrics
+from svae_tpu.train import elbo, optim, loop, checkpoint, metrics, experiment
 
-__all__ = ["elbo", "optim", "loop", "checkpoint", "metrics"]
+__all__ = ["elbo", "optim", "loop", "checkpoint", "metrics", "experiment"]

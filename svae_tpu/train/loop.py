@@ -48,9 +48,9 @@ def run(train_step, pgm_params, net_params, opt_state, data, key, num_epochs,
 
     ``data`` is a single array with leading datapoint/sequence axis; batches
     are static-shaped slices (the tail remainder is dropped so every step
-    hits the same compiled program). ``callback(step, elbo, params)`` runs
-    every step if given. Returns (pgm_params, net_params, opt_state,
-    elbo_history).
+    hits the same compiled program). ``callback(step, elbo, (pgm_params,
+    net_params, opt_state))`` runs every step if given. Returns
+    (pgm_params, net_params, opt_state, elbo_history).
     """
     N = data.shape[0]
     num_batches = N // batch_size
@@ -71,6 +71,6 @@ def run(train_step, pgm_params, net_params, opt_state, data, key, num_epochs,
             history.append(float(elbo))
             if callback is not None:
                 callback(step_idx, history[-1],
-                         (pgm_params, net_params))
+                         (pgm_params, net_params, opt_state))
             step_idx += 1
     return pgm_params, net_params, opt_state, history

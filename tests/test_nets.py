@@ -66,6 +66,6 @@ def test_conv_recognize_shapes():
         key, (8, 8), channels=(4, 8), kernel_size=3, d_latent=3,
         dtype=jnp.float64)
     data = jax.random.normal(jax.random.PRNGKey(1), (2, 5, 64), jnp.float64)
-    J, h = recognition.conv_recognize(params, data)
+    J, h = recognition.make_conv_recognize((8, 8))(params, data)
     assert J.shape == (2, 5, 3) and h.shape == (2, 5, 3)
     assert np.all(np.asarray(J) > 0)
