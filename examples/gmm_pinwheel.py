@@ -54,6 +54,14 @@ def main(argv=None):
     pgm_params, net_params, opt_state, hist = experiment.run(
         tc, train_step, pgm_params, net_params, opt_state, data)
 
+    if tc.plot_path:
+        from svae_tpu.utils import plotting
+        import numpy as np
+        # show clusters in the recognition net's latent space
+        J, h = recognition.mlp_recognize(net_params[0], data)
+        latents = np.asarray(h / J)
+        plotting.plot_gmm_clusters(tc.plot_path, latents, pgm_params)
+
     print(f"steps={len(hist)} first_elbo={hist[0]:.4f} "
           f"last_elbo={hist[-1]:.4f}")
     return hist

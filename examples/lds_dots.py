@@ -55,6 +55,17 @@ def main(argv=None):
     pgm_params, net_params, opt_state, hist = experiment.run(
         tc, train_step, pgm_params, net_params, opt_state, data)
 
+    if tc.plot_path:
+        import numpy as np
+        from svae_tpu.utils import plotting
+        seq = data[:1]
+        pots = recognition.mlp_recognize(net_params[0], seq)
+        samples, _, _, _ = lds.run_inference(
+            pgm_prior, pgm_params, pots, jax.random.PRNGKey(0), 1)
+        recon, _ = decoders.mlp_decode(net_params[1], samples[0, 0])
+        plotting.plot_lds_reconstruction(tc.plot_path, np.asarray(seq[0]),
+                                         np.asarray(recon))
+
     print(f"steps={len(hist)} first_elbo={hist[0]:.4f} "
           f"last_elbo={hist[-1]:.4f}")
     return hist

@@ -27,6 +27,7 @@ class TrainConfig:
     checkpoint_every: int = 500
     profile_dir: Optional[str] = None
     debug_nans: bool = False
+    plot_path: Optional[str] = None  # write a PNG summary after training
 
 
 @dataclass

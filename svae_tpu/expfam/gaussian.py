@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 import jax.scipy.linalg as jsl
 
+from svae_tpu.utils import smallchol
 from svae_tpu.utils.psd import symmetrize, mvn_logZ_info, solve_psd, inv_psd
 
 
@@ -72,13 +73,12 @@ def natural_sample(natparam, key, num_samples=()):
         num_samples = (num_samples,)
     eta1, eta2 = natparam
     J = -2.0 * eta1
-    L = jnp.linalg.cholesky(symmetrize(J))
-    mu = jsl.cho_solve((L, True), eta2[..., None])[..., 0]
+    L = smallchol.chol(symmetrize(J))
+    mu = smallchol.cho_solve(L, eta2)
     eps = jax.random.normal(key, tuple(num_samples) + mu.shape, dtype=mu.dtype)
-    # solve L^T z = eps  =>  z ~ N(0, J^{-1});  solve_triangular does not
-    # broadcast batch dims, so broadcast L to eps's batch shape explicitly.
-    Lb = jnp.broadcast_to(L, eps.shape[:-1] + L.shape[-2:])
-    z = jsl.solve_triangular(Lb, eps[..., None], lower=True, trans=1)[..., 0]
+    # solve L^T z = eps  =>  z ~ N(0, J^{-1})  (broadcasts over the sample
+    # axes; statically-unrolled substitution, svae_tpu/utils/smallchol.py)
+    z = smallchol.solve_upper_from_lower(L, eps)
     return mu + z
 
 

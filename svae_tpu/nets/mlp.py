@@ -77,3 +77,28 @@ def init_gaussian_mlp(key, sizes, scale=1.0, dtype=jnp.float32):
     hidden = init_mlp(k1, sizes[:-1], scale, dtype)
     head = init_gaussian_head(k2, sizes[-2], sizes[-1], scale, dtype)
     return (hidden, head)
+
+
+def rand_partial_isometry(key, m, n, dtype=jnp.float32):
+    """Random partial isometry (orthonormal rows/cols of a QR factor) --
+    the reference's norm-preserving init for decoder output maps
+    (reference: svae/util.py:rand_partial_isometry)."""
+    d = max(m, n)
+    Q, _ = jnp.linalg.qr(jax.random.normal(key, (d, d), dtype))
+    return Q[:m, :n]
+
+
+def init_gaussian_mlp_isometric(key, sizes, scale=1.0, sigma_init=-2.0,
+                                dtype=jnp.float32):
+    """Like :func:`init_gaussian_mlp` but the mean output map is a random
+    partial isometry and the log-variance head starts at ``sigma_init``
+    (small observation noise) -- the reference's decoder init, which keeps
+    early reconstructions in the data's scale instead of collapsed at 0."""
+    k1, k2 = jax.random.split(key)
+    hidden = init_mlp(k1, sizes[:-1], scale, dtype)
+    n_in, n_out = sizes[-2], sizes[-1]
+    Wm = rand_partial_isometry(k2, n_in, n_out, dtype)
+    mean_layer = (Wm, jnp.zeros((n_out,), dtype))
+    sig_layer = (jnp.zeros((n_in, n_out), dtype),
+                 sigma_init * jnp.ones((n_out,), dtype))
+    return (hidden, (mean_layer, sig_layer))

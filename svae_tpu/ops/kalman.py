@@ -41,6 +41,7 @@ import jax
 import jax.numpy as jnp
 import jax.scipy.linalg as jsl
 
+from svae_tpu.utils import smallchol
 from svae_tpu.utils.psd import symmetrize, f32_linalg
 
 LOG2PI = jnp.log(2.0 * jnp.pi)
@@ -53,11 +54,13 @@ LOG2PI = jnp.log(2.0 * jnp.pi)
 
 def _solve_and_logdet(M, rhs_mat, rhs_vec):
     """Cholesky-solve M^{-1} rhs_mat, M^{-1} rhs_vec and log|M| in one
-    factorization. M is symmetrized first (f32 drift mitigation)."""
-    L = jnp.linalg.cholesky(symmetrize(M))
+    factorization (statically-unrolled small-matrix path,
+    svae_tpu/utils/smallchol.py). M is symmetrized first (f32 drift
+    mitigation)."""
+    L = smallchol.chol(symmetrize(M))
     logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
-    sol_mat = jsl.cho_solve((L, True), rhs_mat)
-    sol_vec = jsl.cho_solve((L, True), rhs_vec[..., None])[..., 0]
+    sol_mat = smallchol.cho_solve_mat(L, rhs_mat)
+    sol_vec = smallchol.cho_solve(L, rhs_vec)
     return sol_mat, sol_vec, logdet
 
 
@@ -116,9 +119,9 @@ def marginalize_last(e):
 
 def _gauss_logZ_info(J, h, c):
     d = h.shape[-1]
-    L = jnp.linalg.cholesky(symmetrize(J))
+    L = smallchol.chol(symmetrize(J))
     logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
-    v = jsl.cho_solve((L, True), h[..., None])[..., 0]
+    v = smallchol.cho_solve(L, h)
     return 0.5 * d * LOG2PI - 0.5 * logdet + 0.5 * jnp.sum(h * v, axis=-1) + c
 
 
@@ -211,6 +214,15 @@ def lds_smoother(init, pairs, nodes, parallel=True):
       ExxT  (T, d, d)   = E[x_t x_t^T]
       Exnxt (T-1, d, d) = E[x_t x_{t+1}^T]
     """
+    logZ, Ex, ExxT, Exnxt, _, _ = _smoother_core(init, pairs, nodes,
+                                                 parallel)
+    return logZ, Ex, ExxT, Exnxt
+
+
+def _smoother_core(init, pairs, nodes, parallel=True):
+    """Smoother body; additionally returns the filtered messages (Jf, hf)
+    so ``lds_inference`` can hand them to the sampler without repeating the
+    prefix scan (halves the scan work of the fused E-step)."""
     N1, N2 = nodes
     T, d = N2.shape
     leaves = build_leaves(init, pairs, nodes)
@@ -283,18 +295,18 @@ def lds_smoother(init, pairs, nodes, parallel=True):
     Cov12 = -J11inv_J12 @ Sinv
     # means are the smoothed means
     Exnxt = Cov12 + Ex[:-1, :, None] * Ex[1:, None, :]
-    return logZ, Ex, ExxT, Exnxt
+    return logZ, Ex, ExxT, Exnxt, Jf, hf
 
 
 def _inv_psd_batched(a):
-    L = jnp.linalg.cholesky(symmetrize(a))
+    L = smallchol.chol(symmetrize(a))
     eye = jnp.broadcast_to(jnp.eye(a.shape[-1], dtype=a.dtype), a.shape)
-    return jsl.cho_solve((L, True), eye)
+    return smallchol.cho_solve_mat(L, eye)
 
 
 def _solve_psd_batched(a, b):
-    L = jnp.linalg.cholesky(symmetrize(a))
-    return jsl.cho_solve((L, True), b)
+    L = smallchol.chol(symmetrize(a))
+    return smallchol.cho_solve_mat(L, b)
 
 
 # --------------------------------------------------------------------------
@@ -303,32 +315,37 @@ def _solve_psd_batched(a, b):
 
 
 @f32_linalg
-def lds_sample(init, pairs, nodes, key, num_samples, parallel=True):
+def lds_sample(init, pairs, nodes, key, num_samples, parallel=True,
+               filtered=None):
     """Reparameterized joint posterior samples, shape (num_samples, T, d).
 
     Backward conditionals x_t | x_{t+1} ~ N(F_t x_{t+1} + f_t, C_t) are
     derived from the forward filter; the recursion is evaluated as an
     associative scan of affine maps. (F, f, chol(C)) are shared across
     particles -- only the noise differs -- so extra samples cost one cheap
-    batched affine scan each. (reference:
+    batched affine scan each. Pass ``filtered=(Jf, hf)`` (from the
+    smoother/filter) to skip recomputing the prefix scan. (reference:
     svae/lds/lds_inference.py:natural_sample_backward_general)
     """
     N1, N2 = nodes
     T, d = N2.shape
     dt = N2.dtype
-    _, Jf, hf = lds_filter(init, pairs, nodes, parallel=parallel)
+    if filtered is None:
+        _, Jf, hf = lds_filter(init, pairs, nodes, parallel=parallel)
+    else:
+        Jf, hf = filtered
     P1, P2, P3, Pc = pairs
 
     # conditional potential on x_t given x_{t+1}:
     #   alpha_t(x_t) + pair_t: precision Jc = Jf[t] - 2 P3_t,
     #   linear h = hf[t] + P2_t^T x_{t+1}
     Jc = Jf[:-1] - 2.0 * P3  # (T-1, d, d)
-    Lc = jnp.linalg.cholesky(symmetrize(Jc))
-    F = jsl.cho_solve((Lc, True), jnp.swapaxes(P2, -1, -2))  # Jc^{-1} P2^T
-    f = jsl.cho_solve((Lc, True), hf[:-1][..., None])[..., 0]
+    Lc = smallchol.chol(symmetrize(Jc))
+    F = smallchol.cho_solve_mat(Lc, jnp.swapaxes(P2, -1, -2))  # Jc^{-1} P2^T
+    f = smallchol.cho_solve(Lc, hf[:-1])
     # terminal: x_T ~ N(JT^{-1} hT, JT^{-1})
-    LT = jnp.linalg.cholesky(symmetrize(Jf[-1]))
-    muT = jsl.cho_solve((LT, True), hf[-1][..., None])[..., 0]
+    LT = smallchol.chol(symmetrize(Jf[-1]))
+    muT = smallchol.cho_solve(LT, hf[-1])
 
     if isinstance(num_samples, int):
         num_samples = (num_samples,)
@@ -336,8 +353,7 @@ def lds_sample(init, pairs, nodes, key, num_samples, parallel=True):
 
     # noise terms: n_t = Lc_t^{-T} eps_t (t < T), x_T = muT + LT^{-T} eps_T
     def white(L, e):
-        Lb = jnp.broadcast_to(L, e.shape[:-1] + L.shape[-2:])
-        return jsl.solve_triangular(Lb, e[..., None], lower=True, trans=1)[..., 0]
+        return smallchol.solve_upper_from_lower(L, e)
 
     xT = muT + white(LT, eps[..., T - 1, :])
     g = f + white(Lc, eps[..., : T - 1, :])  # (..., T-1, d)
@@ -385,9 +401,12 @@ def lds_inference(init, pairs, nodes, key, num_samples, parallel=True):
     """Full LDS E-step: (samples, (Ex, ExxT, Exnxt), logZ).
 
     The smoothed stats feed the natural gradient (detached by the caller);
-    the samples carry the reparameterization gradient.
+    the samples carry the reparameterization gradient. The sampler reuses
+    the smoother's filtered messages -- one prefix scan total.
     (reference: svae/lds/lds_inference.py:natural_lds_inference_general)
     """
-    logZ, Ex, ExxT, Exnxt = lds_smoother(init, pairs, nodes, parallel=parallel)
-    samples = lds_sample(init, pairs, nodes, key, num_samples, parallel=parallel)
+    logZ, Ex, ExxT, Exnxt, Jf, hf = _smoother_core(init, pairs, nodes,
+                                                   parallel=parallel)
+    samples = lds_sample(init, pairs, nodes, key, num_samples,
+                         parallel=parallel, filtered=(Jf, hf))
     return samples, (Ex, ExxT, Exnxt), logZ

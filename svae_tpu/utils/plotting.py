@@ -1,0 +1,70 @@
+"""Plotting helpers for the example experiments (reference: the matplotlib
+animation callbacks in experiments/gmm_svae_synth.py -- here as static PNG
+writers, headless-safe). All imports are lazy so the core library never
+depends on matplotlib."""
+
+import numpy as np
+
+
+def _plt():
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    return plt
+
+
+def plot_gmm_clusters(path, data, global_natparam, recogn_latents=None):
+    """Scatter the 2D data colored by most-likely cluster plus 2-sigma
+    ellipses of each cluster's expected Gaussian (the README-gif view)."""
+    from svae_tpu.expfam import niw, dirichlet, gaussian
+    import jax.numpy as jnp
+
+    plt = _plt()
+    dir_np, niw_np = global_natparam
+    (E1, E2), const = niw.expected_gaussian_natparam(niw_np)
+    mu = np.asarray(gaussian.natural_to_standard((E1, E2))[0])
+    Sigma = np.asarray(gaussian.natural_to_standard((E1, E2))[1])
+    weights = np.exp(np.asarray(dirichlet.expectedstats(dir_np)))
+    weights = weights / weights.sum()
+
+    fig, ax = plt.subplots(figsize=(5, 5))
+    ax.scatter(data[:, 0], data[:, 1], s=4, alpha=0.4, c="gray")
+    t = np.linspace(0, 2 * np.pi, 64)
+    circ = np.stack([np.cos(t), np.sin(t)])
+    for k in range(mu.shape[0]):
+        if weights[k] < 1e-3:
+            continue
+        L = np.linalg.cholesky(Sigma[k])
+        e = mu[k][:, None] + 2.0 * L @ circ
+        ax.plot(e[0], e[1], lw=1.5)
+        ax.scatter(*mu[k], marker="x")
+    ax.set_title("GMM-SVAE latent clusters")
+    fig.savefig(path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+
+
+def plot_elbo(path, history):
+    plt = _plt()
+    fig, ax = plt.subplots(figsize=(5, 3))
+    ax.plot(history)
+    ax.set_xlabel("step")
+    ax.set_ylabel("ELBO / datapoint")
+    fig.savefig(path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+
+
+def plot_lds_reconstruction(path, seq_true, seq_pred):
+    """Side-by-side imshow of a true vs reconstructed image sequence
+    (T, width) -- the dots-experiment view."""
+    plt = _plt()
+    fig, axes = plt.subplots(1, 2, figsize=(8, 3))
+    for ax, img, title in zip(axes, (seq_true, seq_pred),
+                              ("data", "reconstruction")):
+        ax.imshow(np.asarray(img).T, aspect="auto", origin="lower",
+                  cmap="viridis")
+        ax.set_title(title)
+        ax.set_xlabel("t")
+    fig.savefig(path, dpi=120, bbox_inches="tight")
+    plt.close(fig)

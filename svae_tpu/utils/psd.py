@@ -22,6 +22,8 @@ import jax
 import jax.numpy as jnp
 import jax.scipy.linalg as jsl
 
+from svae_tpu.utils import smallchol
+
 
 def f32_linalg(fn):
     """Trace ``fn`` under full-f32 matmul precision (see module docstring)."""
@@ -41,20 +43,20 @@ def symmetrize(a):
 
 @f32_linalg
 def _chol(a):
-    return jnp.linalg.cholesky(symmetrize(a))
+    return smallchol.chol(symmetrize(a))
 
 
 @f32_linalg
 def solve_psd(a, b):
-    """Solve ``a x = b`` for symmetric positive-definite ``a``."""
+    """Solve ``a x = b`` for SPD ``a``; matrix RHS ``b`` (..., d, m)."""
     L = _chol(a)
-    return jsl.cho_solve((L, True), b)
+    return smallchol.cho_solve_mat(L, b)
 
 
 @f32_linalg
 def cho_solve_psd(L, b):
-    """Solve given a precomputed lower-Cholesky factor."""
-    return jsl.cho_solve((L, True), b)
+    """Matrix-RHS solve given a precomputed lower-Cholesky factor."""
+    return smallchol.cho_solve_mat(L, b)
 
 
 @f32_linalg
@@ -84,7 +86,7 @@ def mvn_logZ_info(J, h):
     """
     d = h.shape[-1]
     L = _chol(J)
-    v = jsl.solve_triangular(L, h[..., None], lower=True)[..., 0]
+    v = smallchol.solve_lower(L, h)
     half_quad = 0.5 * jnp.sum(v * v, axis=-1)
     logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
     return 0.5 * d * jnp.log(2 * jnp.pi).astype(h.dtype) - 0.5 * logdet + half_quad
