@@ -97,7 +97,7 @@ def _node_potentials(nn_potentials):
 
 
 def _sequence_inference(init, pairs, nn_potentials, key, num_samples,
-                        parallel=True):
+                        parallel=False):
     """One sequence: returns (samples (S, T, d), seq stats, local_kl)."""
     nodes = _node_potentials(nn_potentials)
     samples, (Ex, ExxT, Exnxt), logZ = kalman.lds_inference(
@@ -150,7 +150,7 @@ def prior_kl(global_natparam, prior_natparam):
 
 @f32_linalg
 def run_inference(prior_natparam, global_natparam, nn_potentials, key,
-                  num_samples=1, parallel=True):
+                  num_samples=1, parallel=False):
     """E-step + sampling + KLs (reference: svae/models/lds.py:run_inference).
 
     ``nn_potentials`` = (J_diag, h), each (T, d) for a single sequence or

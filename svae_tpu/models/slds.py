@@ -117,7 +117,7 @@ def _x_pair_stats(Ex, ExxT, Exnxt):
 
 @f32_linalg
 def local_meanfield(global_natparam, nn_potentials, num_iters=15,
-                    num_diff_iters=1, parallel=True):
+                    num_diff_iters=1, parallel=False):
     """Structured mean-field for one sequence.
 
     ``nn_potentials`` = (J_diag, h), each (T, d). Returns
@@ -148,7 +148,7 @@ def local_meanfield(global_natparam, nn_potentials, num_iters=15,
         e_pair, epi0, ePi = params
         L = _pair_energies(e_pair, xps)  # (T-1, K)
         log_obs = jnp.concatenate([jnp.zeros((1, K), L.dtype), L], axis=0)
-        logZ_z, r, pair_marg, r1 = hmm.hmm_marginals(epi0, ePi, log_obs,
+        logZ_z, r, pair_marg, r1 = hmm.hmm_posterior(epi0, ePi, log_obs,
                                                      parallel=parallel)
         return logZ_z, L, r, pair_marg, r1
 
@@ -239,7 +239,7 @@ def prior_kl(global_natparam, prior_natparam):
 
 
 def _sequence_inference(global_natparam, nn_potentials, key, num_samples,
-                        num_iters, num_diff_iters, parallel=True):
+                        num_iters, num_diff_iters, parallel=False):
     hmm_post, lds_post, local_kl = local_meanfield(
         global_natparam, nn_potentials, num_iters, num_diff_iters,
         parallel=parallel
@@ -255,7 +255,7 @@ def _sequence_inference(global_natparam, nn_potentials, key, num_samples,
 @f32_linalg
 def run_inference(prior_natparam, global_natparam, nn_potentials, key,
                   num_samples=1, num_meanfield_iters=15, num_diff_iters=1,
-                  parallel=True):
+                  parallel=False):
     """E-step + sampling + KLs (reference: svae/models/slds.py:run_inference).
 
     ``nn_potentials`` = (J_diag, h), each (T, d) or (B, T, d). Returns

@@ -82,7 +82,7 @@ def _elements(log_trans, log_obs):
     return lt + log_obs[..., 1:, None, :]
 
 
-def hmm_logZ(log_init, log_trans, log_obs, parallel=True):
+def hmm_logZ(log_init, log_trans, log_obs, parallel=False):
     """Log-partition of the HMM chain. Fully differentiable; see module
     docstring for the grad contract. Batched over leading axes of log_obs
     (log_init/log_trans broadcast)."""
@@ -104,7 +104,7 @@ def hmm_logZ(log_init, log_trans, log_obs, parallel=True):
     return logsumexp(aT, axis=-1)
 
 
-def hmm_marginals(log_init, log_trans, log_obs, parallel=True):
+def hmm_marginals(log_init, log_trans, log_obs, parallel=False):
     """(logZ, node_marginals, pair_marginals, init_marginal) via one
     backward pass of the logZ graph -- the reference's
     ``expectedstats = grad(logZ)`` mechanism made literal.
@@ -123,7 +123,60 @@ def hmm_marginals(log_init, log_trans, log_obs, parallel=True):
     return logZ, g_obs, g_trans, g_init
 
 
-def hmm_sample(log_init, log_trans, log_obs, key, num_samples=(), parallel=True):
+def hmm_posterior(log_init, log_trans, log_obs, parallel=False):
+    """Direct forward-backward posterior: ``(logZ, node_marginals (T, K),
+    pair_sum (K, K), init_marginal (K,))``.
+
+    Same results as :func:`hmm_marginals` (tested identity) but built from
+    explicit alpha/beta scans instead of grad(logZ) -- no backward graph
+    gets traced, which roughly halves the compiled size and cost when the
+    caller only needs marginals (the SLDS mean-field sweeps). Fully
+    differentiable, so it also serves the truncated-backprop tail.
+    ``pair_sum`` are the summed transition counts q(z_t=i, z_{t+1}=j)
+    (homogeneous log_trans only -- the Dirichlet natural-gradient stat).
+    """
+    assert log_obs.ndim == 2, "hmm_posterior expects unbatched log_obs; vmap it"
+    T, K = log_obs.shape
+    a0 = log_init + log_obs[0]
+    M = _elements(log_trans, log_obs)  # (T-1, K, K)
+    if parallel:
+        prefix = jax.lax.associative_scan(_logmatmul, M, axis=0)
+        # alpha[t+1](j) = lse_i a0(i) + prefix[t](i, j)
+        alpha_rest = logsumexp(a0[None, :, None] + prefix, axis=1)
+        alpha = jnp.concatenate([a0[None], alpha_rest], axis=0)  # (T, K)
+        suffix = jax.lax.associative_scan(
+            lambda a, b: _logmatmul(b, a), M, axis=0, reverse=True
+        )
+        beta_head = logsumexp(suffix, axis=-1)  # beta[t], t = 1..T-1
+        beta = jnp.concatenate(
+            [beta_head, jnp.zeros((1, K), log_obs.dtype)], axis=0
+        )
+    else:
+        def fstep(a, m):
+            a = logsumexp(a[:, None] + m, axis=0)
+            return a, a
+
+        _, alpha_rest = jax.lax.scan(fstep, a0, M)
+        alpha = jnp.concatenate([a0[None], alpha_rest], axis=0)
+
+        def bstep(b, m):
+            b = logsumexp(m + b[None, :], axis=-1)
+            return b, b
+
+        bT = jnp.zeros((K,), log_obs.dtype)
+        _, beta_body = jax.lax.scan(bstep, bT, M, reverse=True)
+        beta = jnp.concatenate([beta_body, bT[None]], axis=0)
+
+    logZ = logsumexp(alpha[-1], axis=-1)
+    node = jnp.exp(alpha + beta - logZ)
+    # pair_t(i, j) = exp(alpha[t](i) + M[t](i,j) + beta[t+1](j) - logZ)
+    pair = jnp.exp(
+        alpha[:-1, :, None] + M + beta[1:, None, :] - logZ
+    )
+    return logZ, node, jnp.sum(pair, axis=0), node[0]
+
+
+def hmm_sample(log_init, log_trans, log_obs, key, num_samples=(), parallel=False):
     """Posterior path samples z_{1:T} via backward filtering + forward
     sampling with Gumbel argmax (discrete; no reparameterization).
 

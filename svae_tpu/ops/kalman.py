@@ -18,6 +18,18 @@ Combining adjacent blocks marginalizes the shared variable (one Schur
 complement + one Cholesky per combine) -- associative by Fubini, so
 ``lax.associative_scan`` evaluates all prefixes/suffixes in O(log T) span:
 
+Scan-flavor policy: every entry point takes ``parallel``; False (the
+default) evaluates the recursions as ``lax.scan`` loops, True as
+``lax.associative_scan`` trees. Measured on TPU v5e (B=64, T=100, d=10,
+full SVI step, statically-unrolled small-matrix linalg): sequential
+compiles in ~5 min and runs 61.9 ms/step; the associative-scan flavor of
+the same program compiles for >45 min under XLA:TPU's fusion
+cost-estimation on this toolchain (the O(log T)-span tree multiplies the
+unrolled combine body across levels and their transposes). The parallel
+flavor remains fully tested (equality vs sequential and vs the f64
+oracles) and is the right choice for very long T once compile cost
+amortizes or the toolchain improves.
+
   * prefix scan  -> forward filter messages
   * suffix scan  -> backward filter messages (two-filter smoother)
   * prefix[t-1] (+) leaf_t (+) suffix[t+1] -> smoothed pair marginals
@@ -174,7 +186,7 @@ def _total_element(leaves, parallel):
 
 
 @f32_linalg
-def lds_logZ(init, pairs, nodes, parallel=True):
+def lds_logZ(init, pairs, nodes, parallel=False):
     """Log-partition of the chain. Differentiable: grads w.r.t. nodes/pairs
     give the smoothed expected stats (the reference's core contract,
     reference: svae/hmm/hmm_inference.py uses grad(logZ) the same way)."""
@@ -185,7 +197,7 @@ def lds_logZ(init, pairs, nodes, parallel=True):
 
 
 @f32_linalg
-def lds_filter(init, pairs, nodes, parallel=True):
+def lds_filter(init, pairs, nodes, parallel=False):
     """Forward filter: returns (logZ, Jf, hf) where (Jf[t], hf[t]) is the
     filtered info-form potential on x_t (node_t conditioned), t = 1..T.
 
@@ -206,7 +218,7 @@ def lds_filter(init, pairs, nodes, parallel=True):
 
 
 @f32_linalg
-def lds_smoother(init, pairs, nodes, parallel=True):
+def lds_smoother(init, pairs, nodes, parallel=False):
     """Two-filter parallel smoother.
 
     Returns ``(logZ, Ex, ExxT, Exnxt)``:
@@ -219,7 +231,7 @@ def lds_smoother(init, pairs, nodes, parallel=True):
     return logZ, Ex, ExxT, Exnxt
 
 
-def _smoother_core(init, pairs, nodes, parallel=True):
+def _smoother_core(init, pairs, nodes, parallel=False):
     """Smoother body; additionally returns the filtered messages (Jf, hf)
     so ``lds_inference`` can hand them to the sampler without repeating the
     prefix scan (halves the scan work of the fused E-step)."""
@@ -315,7 +327,7 @@ def _solve_psd_batched(a, b):
 
 
 @f32_linalg
-def lds_sample(init, pairs, nodes, key, num_samples, parallel=True,
+def lds_sample(init, pairs, nodes, key, num_samples, parallel=False,
                filtered=None):
     """Reparameterized joint posterior samples, shape (num_samples, T, d).
 
@@ -397,7 +409,7 @@ def lds_sample(init, pairs, nodes, key, num_samples, parallel=True,
 
 
 @f32_linalg
-def lds_inference(init, pairs, nodes, key, num_samples, parallel=True):
+def lds_inference(init, pairs, nodes, key, num_samples, parallel=False):
     """Full LDS E-step: (samples, (Ex, ExxT, Exnxt), logZ).
 
     The smoothed stats feed the natural gradient (detached by the caller);

@@ -97,3 +97,29 @@ class TestSample:
         for path, p in freq.items():
             emp = np.mean(np.all(zs_np == np.array(path), axis=-1))
             np.testing.assert_allclose(emp, p / Z, atol=0.02)
+
+
+def test_hmm_posterior_matches_grad_marginals():
+    """hmm_posterior (direct alpha/beta scans) must equal hmm_marginals
+    (grad of logZ) -- the two routes to the same expectations."""
+    from svae_tpu.ops import hmm as hmm_mod
+
+    rng = np.random.RandomState(7)
+    T, K = 12, 4
+    log_init = np.log(rng.dirichlet(np.ones(K)))
+    log_trans = np.log(rng.dirichlet(np.ones(K), size=K))
+    log_obs = rng.randn(T, K)
+    for par in (True, False):
+        lz_g, node_g, pair_g, r1_g = hmm_mod.hmm_marginals(
+            jnp.asarray(log_init), jnp.asarray(log_trans),
+            jnp.asarray(log_obs), parallel=par)
+        lz_d, node_d, pair_d, r1_d = hmm_mod.hmm_posterior(
+            jnp.asarray(log_init), jnp.asarray(log_trans),
+            jnp.asarray(log_obs), parallel=par)
+        np.testing.assert_allclose(float(lz_d), float(lz_g), rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(node_d), np.asarray(node_g),
+                                   atol=1e-10)
+        np.testing.assert_allclose(np.asarray(pair_d), np.asarray(pair_g),
+                                   atol=1e-10)
+        np.testing.assert_allclose(np.asarray(r1_d), np.asarray(r1_g),
+                                   atol=1e-10)
