@@ -36,3 +36,11 @@ Architecture (TPU-first, not a port):
 """
 
 __version__ = "0.1.0"
+
+from svae_tpu import expfam, ops, models, nets, train, parallel, data, utils
+from svae_tpu import config
+
+__all__ = [
+    "expfam", "ops", "models", "nets", "train", "parallel", "data",
+    "utils", "config",
+]

@@ -253,6 +253,27 @@ def _sequence_inference(global_natparam, nn_potentials, key, num_samples,
 
 
 @f32_linalg
+def sample_states(global_natparam, nn_potentials, key, num_samples=(),
+                  num_meanfield_iters=15, parallel=False):
+    """Posterior samples of the DISCRETE chain z_{1:T} under the converged
+    structured mean-field q(z) (Gumbel-argmax backward sampling through the
+    HMM factor). Returns int32 paths shaped num_samples + (T,).
+    """
+    hmm_post, lds_post, _ = local_meanfield(
+        global_natparam, nn_potentials, num_iters=num_meanfield_iters,
+        num_diff_iters=0, parallel=parallel)
+    _, _, (Ex, ExxT, Exnxt) = lds_post
+    init_dir, trans_dir, _, mniw_np = global_natparam
+    e_pi0 = dirichlet.expectedstats(init_dir)
+    e_Pi = dirichlet.expectedstats(trans_dir)
+    E_pair = mniw.expected_pair_potential(mniw_np)
+    L = _pair_energies(E_pair, _x_pair_stats(Ex, ExxT, Exnxt))
+    K = e_pi0.shape[0]
+    log_obs = jnp.concatenate([jnp.zeros((1, K), L.dtype), L], axis=0)
+    return hmm.hmm_sample(e_pi0, e_Pi, log_obs, key, num_samples,
+                          parallel=parallel)
+
+
 def run_inference(prior_natparam, global_natparam, nn_potentials, key,
                   num_samples=1, num_meanfield_iters=15, num_diff_iters=1,
                   parallel=False):

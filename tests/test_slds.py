@@ -124,3 +124,16 @@ def test_gradients_flow_and_finite():
     g = jax.grad(f)(pots)
     for leaf in jax.tree.leaves(g):
         assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+def test_sample_states_shapes_and_validity():
+    glob, pots = _setup(K=3, T=10, seed=8)
+    z = slds.sample_states(glob, pots, jax.random.PRNGKey(0),
+                           num_samples=(5,), num_meanfield_iters=5)
+    assert z.shape == (5, 10)
+    zn = np.asarray(z)
+    assert zn.min() >= 0 and zn.max() < 3
+    # with identical key, deterministic
+    z2 = slds.sample_states(glob, pots, jax.random.PRNGKey(0),
+                            num_samples=(5,), num_meanfield_iters=5)
+    np.testing.assert_array_equal(zn, np.asarray(z2))
