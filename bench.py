@@ -63,11 +63,11 @@ def measure_tpu_steps(B=64, T=100, d_obs=20, d_latent=10, num_samples=2,
 
     p, n, s = pgm_params, net_params, opt_state
     # warmup/compile
-    p, n, s, e = train_step(p, n, s, data, jax.random.PRNGKey(1))
+    p, n, s, e, _ = train_step(p, n, s, data, jax.random.PRNGKey(1))
     jax.block_until_ready(e)
     t0 = time.perf_counter()
     for i in range(iters):
-        p, n, s, e = train_step(p, n, s, data, jax.random.PRNGKey(2 + i))
+        p, n, s, e, _ = train_step(p, n, s, data, jax.random.PRNGKey(2 + i))
     jax.block_until_ready(e)
     dt = (time.perf_counter() - t0) / iters
     assert bool(np.isfinite(float(e))), "non-finite ELBO in benchmark"

@@ -12,11 +12,13 @@ Architecture (TPU-first, not a port):
                    ``expectedstats(eta) == jax.grad(logZ)(eta)``.
                    (reference: svae/distributions/*.py)
   * ``ops``      - message-passing inference kernels: Kalman filter/smoother/
-                   sampler and HMM forward-backward as O(log T)-span
-                   associative scans (Sarkka & Garcia-Fernandez,
-                   arXiv:1905.13002 / arXiv:2102.05743), plus float64
-                   sequential NumPy oracles standing in for the reference's
-                   autograd/Cython implementations.
+                   sampler and HMM forward-backward, each with a sequential
+                   lax.scan flavor (default; see the scan-flavor policy in
+                   ops/kalman.py) and an O(log T)-span associative-scan
+                   flavor (Sarkka & Garcia-Fernandez, arXiv:1905.13002 /
+                   arXiv:2102.05743), plus float64 sequential NumPy oracles
+                   standing in for the reference's autograd/Cython
+                   implementations.
                    (reference: svae/lds/lds_inference.py,
                     svae/lds/cython_lds_inference.pyx, svae/hmm/*)
   * ``models``   - GMM / LDS / SLDS SVAE models exposing the reference's

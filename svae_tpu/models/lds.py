@@ -7,8 +7,9 @@ Global natural parameters: ``(niw_natparam, mniw_natparam)`` -- a NIW factor
 on the initial state's (mu, Sigma) and an MNIW factor on the homogeneous
 dynamics (A, Sigma). The E-step takes expected pair/init potentials under
 q(theta), adds the recognition net's per-frame diagonal evidence, and runs
-the O(log T)-span associative-scan Kalman smoother + parallel backward
-sampler (svae_tpu/ops/kalman.py), vmapped over the minibatch of sequences.
+the Kalman smoother + backward sampler (svae_tpu/ops/kalman.py; sequential
+scan by default, O(log T)-span associative scan via ``parallel=True`` --
+see the scan-flavor policy note there), vmapped over the minibatch.
 
 Stats returned are congruent with the global natparams:
   NIW : (E[x_1 x_1^T], E[x_1], 1, 1) per sequence

@@ -45,7 +45,13 @@ def make_objective(run_inference, recognize, loglike, pgm_prior, N,
         )
         ll = loglike(loglike_params, samples, batch)
         elbo = scale * (ll - local_kl) - global_kl
-        return elbo / N, jax.lax.stop_gradient(stats)
+        terms = {
+            "loglike": ll / B,
+            "local_kl": local_kl / B,
+            "global_kl": global_kl / N,
+        }
+        return elbo / N, (jax.lax.stop_gradient(stats),
+                          jax.lax.stop_gradient(terms))
 
     return objective
 
@@ -55,10 +61,12 @@ def make_gradfun(run_inference, recognize, loglike, pgm_prior, N,
     """Build the per-step value-and-gradient function.
 
     ``gradfun(pgm_params, net_params, batch, key) ->
-        (elbo_per_datapoint, pgm_natgrad, net_grads)``
+        (elbo_per_datapoint, pgm_natgrad, net_grads, terms)``
 
     ``pgm_natgrad`` is an ASCENT direction congruent with ``pgm_params``;
-    ``net_grads`` are ascent gradients for (recogn_params, loglike_params).
+    ``net_grads`` are ascent gradients for (recogn_params, loglike_params);
+    ``terms`` is a metrics dict with the ELBO's three components
+    (per-datapoint) and the net-gradient global norm.
     Jit/pmap/shard_map-compatible (pure function of its inputs).
     """
     objective = make_objective(run_inference, recognize, loglike, pgm_prior,
@@ -70,9 +78,9 @@ def make_gradfun(run_inference, recognize, loglike, pgm_prior, N,
         def net_obj(net_params):
             return objective(pgm_params, net_params, batch, key)
 
-        (elbo, stats), net_grads = jax.value_and_grad(net_obj, has_aux=True)(
-            net_params
-        )
+        (elbo, (stats, terms)), net_grads = jax.value_and_grad(
+            net_obj, has_aux=True
+        )(net_params)
         # closed-form natural gradient from the conjugate stats
         # (reference: svae/svae.py:make_gradfun natgrad line)
         natgrad = tree_scale(
@@ -80,6 +88,10 @@ def make_gradfun(run_inference, recognize, loglike, pgm_prior, N,
                      pgm_params),
             natgrad_scale / N,
         )
-        return elbo, natgrad, net_grads
+        terms = dict(terms)
+        terms["net_grad_norm"] = jnp.sqrt(
+            sum(jnp.sum(g * g) for g in jax.tree.leaves(net_grads))
+        )
+        return elbo, natgrad, net_grads, terms
 
     return gradfun

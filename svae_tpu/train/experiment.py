@@ -43,13 +43,16 @@ def run(train_cfg, train_step, pgm_params, net_params, opt_state, data,
     if train_cfg.profile_dir:
         jax.profiler.start_trace(train_cfg.profile_dir)
 
-    def callback(step, elbo, params):
+    def callback(step, elbo, params, terms=None):
         now = time.perf_counter()
         dt = now - t_last[0]
         t_last[0] = now
         global_step = start_step + step
+        extra = {}
+        if terms is not None:
+            extra = {k: float(v) for k, v in terms.items()}
         writer.write(global_step, elbo=elbo, step_time_s=round(dt, 5),
-                     steps_per_sec=round(1.0 / max(dt, 1e-9), 3))
+                     steps_per_sec=round(1.0 / max(dt, 1e-9), 3), **extra)
         if (train_cfg.checkpoint_dir
                 and (global_step + 1) % train_cfg.checkpoint_every == 0):
             p, n, s = params
@@ -59,7 +62,7 @@ def run(train_cfg, train_step, pgm_params, net_params, opt_state, data,
                 (p, n, s, key, jnp.asarray(global_step + 1)),
             )
         if extra_callback is not None:
-            extra_callback(global_step, elbo, params)
+            extra_callback(global_step, elbo, params, terms)
 
     try:
         pgm_params, net_params, opt_state, history = loop_lib.run(

@@ -20,11 +20,12 @@ def make_train_step(run_inference, recognize, loglike, pgm_prior, N,
 
       init_state(pgm_params, net_params) -> opt_state
       train_step(pgm_params, net_params, opt_state, batch, key)
-          -> (pgm_params, net_params, opt_state, elbo)
+          -> (pgm_params, net_params, opt_state, elbo, terms)
 
-    ``train_step`` is jitted with donated param/state buffers (in-place
-    update on device, no host round-trips -- the whole SVI step is one XLA
-    program).
+    ``terms`` carries the ELBO components and net-grad norm for metrics
+    (SURVEY.md section 5 observability). ``train_step`` is jitted with
+    donated param/state buffers (in-place update on device, no host
+    round-trips -- the whole SVI step is one XLA program).
     """
     gradfun = make_gradfun(run_inference, recognize, loglike, pgm_prior, N,
                            num_samples, natgrad_scale)
@@ -32,11 +33,12 @@ def make_train_step(run_inference, recognize, loglike, pgm_prior, N,
                                           net_step_size)
 
     def step(pgm_params, net_params, opt_state, batch, key):
-        elbo, natgrad, net_grads = gradfun(pgm_params, net_params, batch, key)
+        elbo, natgrad, net_grads, terms = gradfun(pgm_params, net_params,
+                                                  batch, key)
         pgm_params, net_params, opt_state = opt_update(
             opt_state, pgm_params, net_params, natgrad, net_grads
         )
-        return pgm_params, net_params, opt_state, elbo
+        return pgm_params, net_params, opt_state, elbo, terms
 
     donate_argnums = (0, 1, 2) if donate else ()
     return opt_init, jax.jit(step, donate_argnums=donate_argnums)
@@ -49,7 +51,8 @@ def run(train_step, pgm_params, net_params, opt_state, data, key, num_epochs,
     ``data`` is a single array with leading datapoint/sequence axis; batches
     are static-shaped slices (the tail remainder is dropped so every step
     hits the same compiled program). ``callback(step, elbo, (pgm_params,
-    net_params, opt_state))`` runs every step if given. Returns
+    net_params, opt_state), terms)`` runs every step if given (``terms``
+    is the metrics dict from the train step). Returns
     (pgm_params, net_params, opt_state, elbo_history).
     """
     N = data.shape[0]
@@ -65,12 +68,12 @@ def run(train_step, pgm_params, net_params, opt_state, data, key, num_epochs,
         for b in range(num_batches):
             batch = data[perm[b * batch_size:(b + 1) * batch_size]]
             key, kstep = jax.random.split(key)
-            pgm_params, net_params, opt_state, elbo = train_step(
+            pgm_params, net_params, opt_state, elbo, terms = train_step(
                 pgm_params, net_params, opt_state, batch, kstep
             )
             history.append(float(elbo))
             if callback is not None:
                 callback(step_idx, history[-1],
-                         (pgm_params, net_params, opt_state))
+                         (pgm_params, net_params, opt_state), terms)
             step_idx += 1
     return pgm_params, net_params, opt_state, history

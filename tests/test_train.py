@@ -46,9 +46,12 @@ def test_gradfun_shapes_and_finiteness():
     gradfun = elbo_lib.make_gradfun(
         run_inf, recognition.mlp_recognize, decoders.mlp_loglike,
         pgm_prior, N, num_samples=2)
-    elbo, natgrad, net_grads = gradfun(pgm_params, net_params, data[:16],
+    elbo, natgrad, net_grads, terms = gradfun(pgm_params, net_params, data[:16],
                                        jax.random.PRNGKey(0))
     assert np.isfinite(float(elbo))
+    assert set(terms) == {"loglike", "local_kl", "global_kl",
+                          "net_grad_norm"}
+    assert all(np.isfinite(float(v)) for v in terms.values())
     assert jax.tree.structure(natgrad) == jax.tree.structure(pgm_params)
     for leaf in jax.tree.leaves((natgrad, net_grads)):
         assert np.all(np.isfinite(np.asarray(leaf)))
@@ -69,14 +72,14 @@ def test_natgrad_zero_at_conjugate_fixed_point():
     pots = recognition.mlp_recognize(net_params[0], data)
     _, stats, _, _ = run_inf(pgm_prior, pgm_params, pots, key, 1)
     fixed = jax.tree.map(lambda p, s: p + s, pgm_prior, stats)
-    _, natgrad, _ = gradfun(fixed, net_params, data, key)
+    _, natgrad, _, _ = gradfun(fixed, net_params, data, key)
     # E-step at `fixed` params differs from E-step at pgm_params, so iterate
     # once more: at a true joint fixed point the natgrad is exactly zero.
     pots = recognition.mlp_recognize(net_params[0], data)
     _, stats2, _, _ = run_inf(pgm_prior, fixed, pots, key, 1)
     fixed2 = jax.tree.map(lambda p, s: p + s, pgm_prior, stats2)
     diff = float(jnp.max(jnp.abs(flat(fixed2) - flat(fixed))))
-    _, natgrad2, _ = gradfun(fixed2, net_params, data, key)
+    _, natgrad2, _, _ = gradfun(fixed2, net_params, data, key)
     # natgrad at fixed2 = (prior + stats(fixed2-Estep) - fixed2)/N; the
     # E-step is a contraction here so the residual shrinks; check small.
     assert float(jnp.max(jnp.abs(flat(natgrad2)))) < max(1e-6, diff)
