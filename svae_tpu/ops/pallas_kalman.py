@@ -232,3 +232,170 @@ def lds_filter_pallas(init, pairs, nodes, block_b=128,
 
     logZ = lognorm[0] + Ic + mvn_logZ_info(Jf[:, -1], hf[:, -1])
     return logZ[:B], Jf[:B], hf[:B]
+
+
+# --------------------------------------------------------------------------
+# backward information filter (two-filter smoothing) kernel
+# --------------------------------------------------------------------------
+
+
+def _backward_kernel(P1, P2, P3, N1b, N2b, Jb_out, hb_out, Js, hs, *, d):
+    s = pl.program_id(0)  # s = 0.. T-2;  t = T-2-s handled by index maps
+
+    @pl.when(s == 0)
+    def _init():
+        Js[:] = jnp.zeros_like(Js)
+        hs[:] = jnp.zeros_like(hs)
+
+    # dynamic row t of the shared pair arrays
+    T1 = pl.num_programs(0)
+    t = T1 - 1 - s
+    p1 = P1[pl.ds(t, 1), :][0]
+    p2 = P2[pl.ds(t, 1), :][0]
+    p3 = P3[pl.ds(t, 1), :][0]
+
+    n1 = N1b[0]  # node t+1 (streamed via index map)
+    n2 = N2b[0]
+    Jrows = Js[:]
+    hrows = hs[:]
+
+    # M = -2 P1_t - 2 N1_{t+1} + Jb_{t+1}
+    m = [(-2.0) * p1[r] - 2.0 * n1[r] + Jrows[r] for r in range(d * d)]
+    L = _chol_rows(m, d)
+    b0 = [hrows[r] + n2[r] for r in range(d)]
+    y = _solve_lower_rows(L, b0, d)
+    w = _solve_upper_rows(L, y, d)  # M^{-1} b0
+    # hb_t = P2_t^T w
+    newh = []
+    for i in range(d):
+        acc_i = p2[0 * d + i] * w[0]
+        for k in range(1, d):
+            acc_i = acc_i + p2[k * d + i] * w[k]
+        newh.append(acc_i)
+    # Minv P2: columns M^{-1} P2[:, c]
+    MinvP2 = []
+    for c in range(d):
+        col = [jnp.broadcast_to(p2[j * d + c], Jrows.shape[1:])
+               for j in range(d)]
+        yc = _solve_lower_rows(L, col, d)
+        MinvP2.append(_solve_upper_rows(L, yc, d))
+    # Jb_t = -2 P3_t - P2^T Minv P2
+    newJ = []
+    for i in range(d):
+        for j in range(d):
+            v = -2.0 * p3[i * d + j]
+            for k in range(d):
+                v = v - p2[k * d + i] * MinvP2[j][k]
+            newJ.append(v)
+
+    newJ_rows = jnp.stack(newJ, axis=0)
+    newh_rows = jnp.stack(newh, axis=0)
+    Js[:] = newJ_rows
+    hs[:] = newh_rows
+    Jb_out[0, :, :] = newJ_rows
+    hb_out[0, :, :] = newh_rows
+
+
+def lds_backward_pallas(pairs, nodes, block_b=128, interpret=False):
+    """Backward information filter (beta messages) with the Pallas kernel;
+    mirrors ``oracles.lds_backward_seq`` without the constants. Layout
+    contract as :func:`lds_filter_pallas`. Returns (Jb (B, T, d, d),
+    hb (B, T, d)) with the t = T-1 entries zero."""
+    P1, P2, P3, Pc = pairs
+    N1, N2 = nodes
+    B, T, d = N2.shape
+    dt = N2.dtype
+
+    pad = (-B) % block_b
+    if pad:
+        N1 = jnp.concatenate(
+            [N1, jnp.broadcast_to(jnp.eye(d, dtype=dt) * -0.5,
+                                  (pad, T, d, d))], axis=0)
+        N2 = jnp.concatenate([N2, jnp.zeros((pad, T, d), dt)], axis=0)
+    Bp = B + pad
+
+    N1b = jnp.moveaxis(N1[:, 1:].reshape(Bp, T - 1, d * d), 0, -1)
+    N2b = jnp.moveaxis(N2[:, 1:], 0, -1)
+    P1r = P1.reshape(T - 1, d * d)
+    P2r = P2.reshape(T - 1, d * d)
+    P3r = P3.reshape(T - 1, d * d)
+
+    dd = d * d
+    kernel = functools.partial(_backward_kernel, d=d)
+    out_shape = [
+        jax.ShapeDtypeStruct((T - 1, dd, Bp), dt),
+        jax.ShapeDtypeStruct((T - 1, d, Bp), dt),
+    ]
+    # grid step s handles t = T-2-s: stream node/output blocks reversed
+    Jb_body, hb_body = pl.pallas_call(
+        kernel,
+        grid=(T - 1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # P1
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # P2
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # P3
+            pl.BlockSpec((1, dd, Bp), lambda s: (T - 2 - s, 0, 0),
+                         memory_space=pltpu.VMEM),  # N1 at t+1
+            pl.BlockSpec((1, d, Bp), lambda s: (T - 2 - s, 0, 0),
+                         memory_space=pltpu.VMEM),  # N2 at t+1
+        ],
+        out_specs=[
+            pl.BlockSpec((1, dd, Bp), lambda s: (T - 2 - s, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, Bp), lambda s: (T - 2 - s, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((dd, Bp), dt),
+            pltpu.VMEM((d, Bp), dt),
+        ],
+        interpret=interpret,
+    )(P1r, P2r, P3r, N1b, N2b)
+
+    zeros_J = jnp.zeros((Bp, 1, d, d), dt)
+    zeros_h = jnp.zeros((Bp, 1, d), dt)
+    Jb = jnp.concatenate(
+        [jnp.moveaxis(Jb_body, -1, 0).reshape(Bp, T - 1, d, d), zeros_J],
+        axis=1)
+    hb = jnp.concatenate([jnp.moveaxis(hb_body, -1, 0), zeros_h], axis=1)
+    return Jb[:B], hb[:B]
+
+
+def lds_smoother_pallas(init, pairs, nodes, block_b=128, interpret=False):
+    """Full smoother on the Pallas filter kernels: forward + backward
+    passes as fused kernels, node/pair marginal assembly as batched XLA
+    (cheap vectorized math). Same outputs as ``kalman.lds_smoother``
+    vmapped over the batch: (logZ (B,), Ex, ExxT, Exnxt). Forward-only."""
+    from svae_tpu.utils import smallchol
+    from svae_tpu.utils.psd import symmetrize
+
+    P1, P2, P3, Pc = pairs
+    N1, N2 = nodes
+    logZ, Jf, hf = lds_filter_pallas(init, pairs, nodes, block_b=block_b,
+                                     interpret=interpret)
+    Jb, hb = lds_backward_pallas(pairs, nodes, block_b=block_b,
+                                 interpret=interpret)
+
+    Js = Jf + Jb
+    hs = hf + hb
+    L = smallchol.chol(symmetrize(Js))
+    Ex = smallchol.cho_solve(L, hs)
+    eye = jnp.broadcast_to(jnp.eye(Js.shape[-1], dtype=Js.dtype), Js.shape)
+    Sig = smallchol.cho_solve_mat(L, eye)
+    ExxT = symmetrize(Sig + Ex[..., :, None] * Ex[..., None, :])
+
+    # pair cross-moments (same construction as kalman._smoother_core)
+    J12l = -jnp.swapaxes(P2, -1, -2)[None]  # (1, T-1, d, d)
+    J11 = -2.0 * P3[None] + Jf[:, :-1]
+    J22 = -2.0 * (P1[None] + N1[:, 1:]) + Jb[:, 1:]
+    L11 = smallchol.chol(symmetrize(J11))
+    J11inv_J12 = smallchol.cho_solve_mat(L11, jnp.broadcast_to(
+        J12l, J11.shape))
+    S = J22 - jnp.swapaxes(J12l, -1, -2) @ J11inv_J12
+    LS = smallchol.chol(symmetrize(S))
+    eyeS = jnp.broadcast_to(jnp.eye(S.shape[-1], dtype=S.dtype), S.shape)
+    Sinv = smallchol.cho_solve_mat(LS, eyeS)
+    Cov12 = -J11inv_J12 @ Sinv
+    Exnxt = Cov12 + Ex[:, :-1, :, None] * Ex[:, 1:, None, :]
+    return logZ, Ex, ExxT, Exnxt

@@ -51,3 +51,29 @@ def test_pallas_filter_pads_batch():
     logZ, Jf, hf = lds_filter_pallas(init, pairs, (N1, h), interpret=True)
     assert logZ.shape == (B,) and Jf.shape == (B, T, d, d)
     assert np.all(np.isfinite(np.asarray(logZ)))
+
+
+@pytest.mark.parametrize("B,T,d", [(4, 7, 3), (2, 5, 2)])
+def test_pallas_smoother_matches_xla(B, T, d):
+    from svae_tpu.ops.pallas_kalman import lds_smoother_pallas
+
+    key = jax.random.PRNGKey(2)
+    glob = lds.init_pgm_param(key, d)
+    init, pairs = lds.expected_chain_potentials(glob, T)
+    init = jax.tree.map(lambda a: a.astype(jnp.float32), init)
+    pairs = jax.tree.map(lambda a: a.astype(jnp.float32), pairs)
+    k1, k2 = jax.random.split(key)
+    Jd = jax.nn.softplus(jax.random.normal(k1, (B, T, d), jnp.float32)) + 0.5
+    h = jax.random.normal(k2, (B, T, d), jnp.float32)
+    N1 = -0.5 * jax.vmap(jax.vmap(jnp.diag))(Jd)
+
+    lZ, Ex, ExxT, Exn = lds_smoother_pallas(init, pairs, (N1, h),
+                                            interpret=True)
+    lZx, Exx, ExxTx, Exnx = jax.vmap(
+        lambda n1, n2: kalman.lds_smoother(init, pairs, (n1, n2)))(N1, h)
+    np.testing.assert_allclose(np.asarray(lZ), np.asarray(lZx), rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(Ex), np.asarray(Exx), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ExxT), np.asarray(ExxTx),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(Exn), np.asarray(Exnx),
+                               atol=2e-5)
