@@ -167,12 +167,15 @@ def measure_tpu_estep(B=64, T=100, d_obs=20, d_latent=10, num_samples=2,
     return B / dt
 
 
-def measure_tpu_pallas_smoother(B=64, T=100, d_latent=10, iters=50):
-    """The fused Pallas smoother kernels (forward-only path)."""
+def measure_tpu_pallas_estep(B=64, T=100, d_latent=10, num_samples=2,
+                             iters=50):
+    """The fused Pallas E-step (filter + smoother + sampler sharing one
+    filter pass) -- the apples-to-apples twin of measure_tpu_estep on the
+    Pallas kernels (forward-only path)."""
     import jax
     import jax.numpy as jnp
     from svae_tpu.models import lds
-    from svae_tpu.ops.pallas_kalman import lds_smoother_pallas
+    from svae_tpu.ops.pallas_kalman import lds_estep_pallas
 
     key = jax.random.PRNGKey(0)
     glob = lds.init_pgm_param(key, d_latent)
@@ -181,24 +184,25 @@ def measure_tpu_pallas_smoother(B=64, T=100, d_latent=10, iters=50):
     Jd = jax.nn.softplus(jax.random.normal(k1, (B, T, d_latent))) + 0.5
     h = jax.random.normal(k2, (B, T, d_latent))
     N1 = -0.5 * jax.vmap(jax.vmap(jnp.diag))(Jd)
-    f = jax.jit(lambda N1, h: lds_smoother_pallas(init, pairs, (N1, h)))
-    out = f(N1, h)
+    f = jax.jit(lambda N1, h, k: lds_estep_pallas(init, pairs, (N1, h), k,
+                                                  num_samples))
+    out = f(N1, h, jax.random.PRNGKey(1))
     jax.block_until_ready(out)
 
     def run_iters(k):
-        for _ in range(k):
-            out = f(N1, h)
+        for i in range(k):
+            out = f(N1, h, jax.random.PRNGKey(2 + i))
         return out
 
     dt = _lump_time(run_iters, iters)
-    assert bool(np.isfinite(float(out[0][0]))), "non-finite pallas logZ"
+    assert bool(np.isfinite(float(out[2][0]))), "non-finite pallas logZ"
     return B / dt
 
 
 def main():
     estep_seqs_per_sec = measure_tpu_estep()
     try:
-        pallas_seqs_per_sec = measure_tpu_pallas_smoother()
+        pallas_seqs_per_sec = measure_tpu_pallas_estep()
     except Exception:  # CPU-only host or pallas lowering unavailable
         pallas_seqs_per_sec = None
     train_seqs_per_sec, step_dt = measure_tpu_steps()
@@ -217,7 +221,7 @@ def main():
                     estep_seqs_per_sec / cpu_seqs_per_sec, 2),
                 "train_step_seqs_per_sec": round(train_seqs_per_sec, 2),
                 "cpu_estep_seqs_per_sec": round(cpu_seqs_per_sec, 2),
-                "pallas_smoother_seqs_per_sec": (
+                "pallas_estep_seqs_per_sec": (
                     round(pallas_seqs_per_sec, 2)
                     if pallas_seqs_per_sec else None),
             }

@@ -362,18 +362,24 @@ def lds_backward_pallas(pairs, nodes, block_b=128, interpret=False):
     return Jb[:B], hb[:B]
 
 
-def lds_smoother_pallas(init, pairs, nodes, block_b=128, interpret=False):
+def lds_smoother_pallas(init, pairs, nodes, block_b=128, interpret=False,
+                        filtered=None):
     """Full smoother on the Pallas filter kernels: forward + backward
     passes as fused kernels, node/pair marginal assembly as batched XLA
     (cheap vectorized math). Same outputs as ``kalman.lds_smoother``
-    vmapped over the batch: (logZ (B,), Ex, ExxT, Exnxt). Forward-only."""
+    vmapped over the batch: (logZ (B,), Ex, ExxT, Exnxt). Forward-only.
+    Pass ``filtered=(logZ, Jf, hf)`` to reuse an existing filter pass."""
     from svae_tpu.utils import smallchol
     from svae_tpu.utils.psd import symmetrize
 
     P1, P2, P3, Pc = pairs
     N1, N2 = nodes
-    logZ, Jf, hf = lds_filter_pallas(init, pairs, nodes, block_b=block_b,
-                                     interpret=interpret)
+    if filtered is None:
+        logZ, Jf, hf = lds_filter_pallas(init, pairs, nodes,
+                                         block_b=block_b,
+                                         interpret=interpret)
+    else:
+        logZ, Jf, hf = filtered
     Jb, hb = lds_backward_pallas(pairs, nodes, block_b=block_b,
                                  interpret=interpret)
 
@@ -399,3 +405,152 @@ def lds_smoother_pallas(init, pairs, nodes, block_b=128, interpret=False):
     Cov12 = -J11inv_J12 @ Sinv
     Exnxt = Cov12 + Ex[:, :-1, :, None] * Ex[:, 1:, None, :]
     return logZ, Ex, ExxT, Exnxt
+
+
+# --------------------------------------------------------------------------
+# backward posterior sampler kernel
+# --------------------------------------------------------------------------
+
+
+def _sampler_kernel(P2, P3, Jff, hff, epsf, xT, x_out, xs, *, d):
+    s = pl.program_id(0)  # t = T-2-s via index maps
+
+    @pl.when(s == 0)
+    def _init():
+        xs[:] = xT[:]
+
+    T1 = pl.num_programs(0)
+    t = T1 - 1 - s
+    p2 = P2[pl.ds(t, 1), :][0]
+    p3 = P3[pl.ds(t, 1), :][0]
+
+    jf = Jff[0]   # (d*d, SB) filtered precision at t
+    hf = hff[0]   # (d, SB)
+    eps = epsf[0]  # (d, SB)
+    x_next = xs[:]
+
+    # conditional precision Jc = Jf_t - 2 P3_t
+    a = [jf[r] - 2.0 * p3[r] for r in range(d * d)]
+    L = _chol_rows(a, d)
+    # b = hf_t + P2_t^T x_{t+1}
+    b = []
+    for i in range(d):
+        acc_i = hf[i]
+        for k in range(d):
+            acc_i = acc_i + p2[k * d + i] * x_next[k]
+        b.append(acc_i)
+    y = _solve_lower_rows(L, b, d)
+    mu = _solve_upper_rows(L, y, d)
+    # noise: z = L^{-T} eps
+    z = _solve_upper_rows(L, [eps[i] for i in range(d)], d)
+    x_new = jnp.stack([mu[i] + z[i] for i in range(d)], axis=0)
+    xs[:] = x_new
+    x_out[0, :, :] = x_new
+
+
+def lds_sample_pallas(init, pairs, nodes, key, num_samples, block_b=128,
+                      interpret=False, filtered=None, eps=None):
+    """Posterior sampler on the Pallas kernel: the backward conditional
+    recursion with num_samples particles per sequence packed onto the lane
+    axis next to the batch. Matches ``kalman.lds_sample`` given the same
+    (key-derived) noise. Returns (num_samples, B, T, d). Forward-only."""
+    P1, P2, P3, Pc = pairs
+    N1, N2 = nodes
+    B, T, d = N2.shape
+    dt = N2.dtype
+    S = int(num_samples)
+
+    if filtered is None:
+        _, Jf, hf = lds_filter_pallas(init, pairs, nodes, block_b=block_b,
+                                      interpret=interpret)
+    else:
+        Jf, hf = filtered
+
+    if eps is None:
+        eps = jax.random.normal(key, (S, B, T, d), dt)
+    else:  # test hook: zero noise returns the smoothed mean exactly
+        eps = jnp.asarray(eps, dt)
+
+    # pack (S, B) onto lanes
+    SB = S * B
+    pad = (-SB) % block_b
+    SBp = SB + pad
+
+    def pack(x):  # (S, B, T, ...) -> (T, prod(...), SBp)
+        x = x.reshape((SB, T, -1))
+        x = jnp.moveaxis(x, 0, -1)
+        if pad:
+            x = jnp.concatenate(
+                [x, jnp.zeros(x.shape[:-1] + (pad,), dt)], axis=-1)
+        return x
+
+    Jf_r = jnp.broadcast_to(Jf[None], (S,) + Jf.shape)
+    hf_r = jnp.broadcast_to(hf[None], (S,) + hf.shape)
+    Jff = pack(Jf_r)   # (T, dd, SBp)
+    hff = pack(hf_r)   # (T, d, SBp)
+    epsf = pack(eps)   # (T, d, SBp)
+
+    # pad lanes of Jff with identity-ish precisions to keep chol finite
+    if pad:
+        eye_rows = (jnp.eye(d, dtype=dt).reshape(d * d))[None, :, None]
+        Jff = Jff.at[:, :, SB:].add(eye_rows)
+
+    # terminal sample host-side (one batched solve)
+    from svae_tpu.utils import smallchol
+    from svae_tpu.utils.psd import symmetrize
+
+    LT = smallchol.chol(symmetrize(Jf[:, -1]))
+    muT = smallchol.cho_solve(LT, hf[:, -1])
+    zT = smallchol.solve_upper_from_lower(LT[None], eps[:, :, -1])
+    xT = muT[None] + zT  # (S, B, d)
+    xT_p = jnp.moveaxis(xT.reshape(SB, d), 0, -1)
+    if pad:
+        xT_p = jnp.concatenate([xT_p, jnp.zeros((d, pad), dt)], axis=-1)
+
+    dd = d * d
+    kernel = functools.partial(_sampler_kernel, d=d)
+    x_body = pl.pallas_call(
+        kernel,
+        grid=(T - 1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # P2
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # P3
+            pl.BlockSpec((1, dd, SBp), lambda s: (T - 2 - s, 0, 0),
+                         memory_space=pltpu.VMEM),  # Jf at t
+            pl.BlockSpec((1, d, SBp), lambda s: (T - 2 - s, 0, 0),
+                         memory_space=pltpu.VMEM),  # hf at t
+            pl.BlockSpec((1, d, SBp), lambda s: (T - 2 - s, 0, 0),
+                         memory_space=pltpu.VMEM),  # eps at t
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # xT
+        ],
+        out_specs=pl.BlockSpec((1, d, SBp), lambda s: (T - 2 - s, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T - 1, d, SBp), dt),
+        scratch_shapes=[pltpu.VMEM((d, SBp), dt)],
+        interpret=interpret,
+    )(P2.reshape(T - 1, dd), P3.reshape(T - 1, dd), Jff, hff, epsf, xT_p)
+
+    x_body = jnp.moveaxis(x_body[..., :SB], -1, 0).reshape(SB, T - 1, d)
+    xs = jnp.concatenate([x_body, xT.reshape(SB, 1, d)], axis=1)
+    return xs.reshape(S, B, T, d)
+
+
+def lds_estep_pallas(init, pairs, nodes, key, num_samples, block_b=128,
+                     interpret=False):
+    """Fused forward E-step on the Pallas kernels: ONE filter pass shared
+    by the smoother assembly and the backward sampler (the composition
+    ``kalman.lds_inference`` provides on the XLA path). Forward-only.
+
+    Returns ``(samples (S, B, T, d), (Ex, ExxT, Exnxt), logZ (B,))``.
+    """
+    filt = lds_filter_pallas(init, pairs, nodes, block_b=block_b,
+                             interpret=interpret)
+    logZ, Jf, hf = filt
+    _, Ex, ExxT, Exnxt = lds_smoother_pallas(init, pairs, nodes,
+                                             block_b=block_b,
+                                             interpret=interpret,
+                                             filtered=filt)
+    samples = lds_sample_pallas(init, pairs, nodes, key, num_samples,
+                                block_b=block_b, interpret=interpret,
+                                filtered=(Jf, hf))
+    return samples, (Ex, ExxT, Exnxt), logZ

@@ -77,3 +77,79 @@ def test_pallas_smoother_matches_xla(B, T, d):
                                atol=2e-5)
     np.testing.assert_allclose(np.asarray(Exn), np.asarray(Exnx),
                                atol=2e-5)
+
+
+def test_pallas_sampler_zero_noise_gives_smoothed_mean():
+    """With eps = 0 the backward conditional recursion composes the
+    conditional means, whose fixed point is the joint posterior mean --
+    an EXACT identity against the smoother (no MC tolerance)."""
+    from svae_tpu.ops.pallas_kalman import lds_sample_pallas
+
+    B, T, d, S = 3, 7, 3, 2
+    key = jax.random.PRNGKey(4)
+    glob = lds.init_pgm_param(key, d)
+    init, pairs = lds.expected_chain_potentials(glob, T)
+    init = jax.tree.map(lambda a: a.astype(jnp.float32), init)
+    pairs = jax.tree.map(lambda a: a.astype(jnp.float32), pairs)
+    k1, k2 = jax.random.split(key)
+    Jd = jax.nn.softplus(jax.random.normal(k1, (B, T, d), jnp.float32)) + 0.5
+    h = jax.random.normal(k2, (B, T, d), jnp.float32)
+    N1 = -0.5 * jax.vmap(jax.vmap(jnp.diag))(Jd)
+
+    xs = lds_sample_pallas(init, pairs, (N1, h), jax.random.PRNGKey(0), S,
+                           interpret=True,
+                           eps=jnp.zeros((S, B, T, d), jnp.float32))
+    _, Ex, _, _ = jax.vmap(
+        lambda n1, n2: kalman.lds_smoother(init, pairs, (n1, n2)))(N1, h)
+    for s_i in range(S):
+        np.testing.assert_allclose(np.asarray(xs[s_i]), np.asarray(Ex),
+                                   atol=3e-5)
+
+
+def test_pallas_sampler_statistics():
+    from svae_tpu.ops.pallas_kalman import lds_sample_pallas
+
+    B, T, d = 2, 5, 2
+    key = jax.random.PRNGKey(5)
+    glob = lds.init_pgm_param(key, d)
+    init, pairs = lds.expected_chain_potentials(glob, T)
+    init = jax.tree.map(lambda a: a.astype(jnp.float32), init)
+    pairs = jax.tree.map(lambda a: a.astype(jnp.float32), pairs)
+    k1, k2 = jax.random.split(key)
+    Jd = jax.nn.softplus(jax.random.normal(k1, (B, T, d), jnp.float32)) + 0.5
+    h = jax.random.normal(k2, (B, T, d), jnp.float32)
+    N1 = -0.5 * jax.vmap(jax.vmap(jnp.diag))(Jd)
+    S = 512
+    xs = lds_sample_pallas(init, pairs, (N1, h), jax.random.PRNGKey(1), S,
+                           interpret=True)
+    _, Ex, ExxT, _ = jax.vmap(
+        lambda n1, n2: kalman.lds_smoother(init, pairs, (n1, n2)))(N1, h)
+    emp = jnp.mean(xs, axis=0)
+    # 4-sigma MC band on the mean estimate
+    sd = jnp.sqrt(jnp.maximum(
+        jax.vmap(jnp.diagonal)(
+            (ExxT - Ex[..., :, None] * Ex[..., None, :]).reshape(
+                -1, d, d)).reshape(B, T, d), 1e-8))
+    assert bool(jnp.all(jnp.abs(emp - Ex) < 4.0 * sd / np.sqrt(S)))
+
+
+def test_pallas_estep_composition():
+    from svae_tpu.ops.pallas_kalman import lds_estep_pallas
+
+    B, T, d, S = 2, 6, 2, 3
+    key = jax.random.PRNGKey(6)
+    glob = lds.init_pgm_param(key, d)
+    init, pairs = lds.expected_chain_potentials(glob, T)
+    init = jax.tree.map(lambda a: a.astype(jnp.float32), init)
+    pairs = jax.tree.map(lambda a: a.astype(jnp.float32), pairs)
+    k1, k2 = jax.random.split(key)
+    Jd = jax.nn.softplus(jax.random.normal(k1, (B, T, d), jnp.float32)) + 0.5
+    h = jax.random.normal(k2, (B, T, d), jnp.float32)
+    N1 = -0.5 * jax.vmap(jax.vmap(jnp.diag))(Jd)
+    samples, (Ex, ExxT, Exn), logZ = lds_estep_pallas(
+        init, pairs, (N1, h), jax.random.PRNGKey(0), S, interpret=True)
+    assert samples.shape == (S, B, T, d)
+    lZx, Exx, _, _ = jax.vmap(
+        lambda n1, n2: kalman.lds_smoother(init, pairs, (n1, n2)))(N1, h)
+    np.testing.assert_allclose(np.asarray(logZ), np.asarray(lZx), rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(Ex), np.asarray(Exx), atol=2e-5)
