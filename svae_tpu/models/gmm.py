@@ -222,3 +222,13 @@ def run_inference(prior_natparam, global_natparam, nn_potentials, key,
     stats = _global_stats(label_probs, gauss_stats)
     global_kl = prior_kl(global_natparam, prior_natparam)
     return samples, stats, global_kl, local_kl
+
+
+@f32_linalg
+def classify(global_natparam, nn_potentials, num_meanfield_iters=25):
+    """Posterior responsibilities q(z) for (new) data given trained
+    globals -- the label field of the mean-field E-step (the quantity the
+    reference's pinwheel animation colors by). Returns (B, K)."""
+    label_probs, _, _, _ = local_meanfield(
+        global_natparam, nn_potentials, num_iters=num_meanfield_iters)
+    return label_probs

@@ -183,3 +183,83 @@ def run_inference(prior_natparam, global_natparam, nn_potentials, key,
 
     global_kl = prior_kl(global_natparam, prior_natparam)
     return samples, stats, global_kl, local_kl
+
+
+# --------------------------------------------------------------------------
+# posterior inference / forecasting (no-gradient user APIs)
+# --------------------------------------------------------------------------
+
+
+@f32_linalg
+def posterior_moments(global_natparam, nn_potentials, parallel=False):
+    """Smoothed posterior moments for one sequence or a batch:
+    ``(Ex, ExxT, Exnxt, logZ)``. The eval-side twin of run_inference
+    without sampling/KLs (reference: the smoother outputs the experiments
+    plot)."""
+    J_diag, h = nn_potentials
+    batched = J_diag.ndim == 3
+    T = J_diag.shape[-2]
+    init, pairs = expected_chain_potentials(global_natparam, T,
+                                            dtype=h.dtype)
+
+    def one(p):
+        nodes = _node_potentials(p)
+        logZ, Ex, ExxT, Exnxt = kalman.lds_smoother(init, pairs, nodes,
+                                                    parallel=parallel)
+        return Ex, ExxT, Exnxt, logZ
+
+    if batched:
+        return jax.vmap(one)((J_diag, h))
+    return one((J_diag, h))
+
+
+@f32_linalg
+def predict(global_natparam, nn_potentials, key, num_steps, num_samples=1,
+            parallel=False):
+    """Forecast: condition on an observed prefix (via the recognition
+    potentials), then roll the expected dynamics forward ``num_steps``
+    with process noise (reference: the dots-experiment prediction plots).
+
+    Returns latent trajectories shaped (num_samples, T + num_steps, d)
+    (or with a leading batch axis if ``nn_potentials`` is batched):
+    the first T entries are posterior samples of the conditioning window,
+    the remainder are forecast rollouts.
+    """
+    from svae_tpu.utils import smallchol
+    from svae_tpu.utils.psd import symmetrize
+
+    niw_np, mniw_np = global_natparam
+    Phi, M, V, nu = mniw.natural_to_standard(mniw_np)
+    A = M  # E[A] under the MNIW posterior
+    # E[Sigma] = Phi / (nu - d - 1)
+    d = M.shape[-1]
+    Sigma = Phi / (nu - d - 1.0)
+    Ls = smallchol.chol(symmetrize(Sigma))
+
+    J_diag, h = nn_potentials
+    batched = J_diag.ndim == 3
+
+    def one(p, k):
+        T = p[1].shape[0]
+        init, pairs = expected_chain_potentials(global_natparam, T,
+                                                dtype=p[1].dtype)
+        nodes = _node_potentials(p)
+        k1, k2 = jax.random.split(k)
+        xs = kalman.lds_sample(init, pairs, nodes, k1, num_samples,
+                               parallel=parallel)  # (S, T, d)
+        eps = jax.random.normal(k2, (num_steps,) + xs.shape[:-2] + (d,),
+                                xs.dtype)
+
+        def roll(x, e):
+            nxt = (A @ x[..., None])[..., 0] + (Ls @ e[..., None])[..., 0]
+            return nxt, nxt
+
+        _, future = jax.lax.scan(roll, xs[..., -1, :], eps)
+        future = jnp.moveaxis(future, 0, -2)  # (S, num_steps, d)
+        return jnp.concatenate([xs, future], axis=-2)
+
+    if batched:
+        B = J_diag.shape[0]
+        keys = jax.random.split(key, B)
+        return jax.vmap(one)((J_diag, h), keys)
+    return one((J_diag, h), key)

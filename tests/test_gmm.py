@@ -119,3 +119,12 @@ def test_local_kl_grad_matches_finite_difference():
         fdJ = (f((J + dJ, h)) - f((J - dJ, h))) / (2 * eps)
         np.testing.assert_allclose(float(g[0][idx]), float(fdJ), rtol=1e-4,
                                    atol=1e-7)
+
+
+def test_classify_matches_meanfield_labels():
+    glob, pots = _setup(K=4, B=7, seed=12)
+    r = gmm.classify(glob, pots, num_meanfield_iters=40)
+    r2, _, _, _ = gmm.local_meanfield(glob, pots, num_iters=40)
+    np.testing.assert_allclose(np.asarray(r), np.asarray(r2), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(jnp.sum(r, -1)),
+                               np.ones(7), rtol=1e-6)

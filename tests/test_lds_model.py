@@ -104,3 +104,25 @@ def test_sequential_and_parallel_paths_agree():
                                                 np.asarray(b), atol=1e-7),
         st1, st2)
     np.testing.assert_allclose(float(l1), float(l2), rtol=1e-8)
+
+
+def test_posterior_moments_and_predict():
+    glob, (J, h) = _setup(d=2, T=8, B=2)
+    Ex, ExxT, Exnxt, logZ = lds.posterior_moments(glob, (J, h))
+    assert Ex.shape == (2, 8, 2) and logZ.shape == (2,)
+    # agrees with the smoother through run_inference's stats at B=1
+    Ex1, _, _, _ = lds.posterior_moments(glob, (J[0], h[0]))
+    np.testing.assert_allclose(np.asarray(Ex[0]), np.asarray(Ex1),
+                               atol=1e-10)
+
+    traj = lds.predict(glob, (J, h), KEY, num_steps=5, num_samples=3)
+    assert traj.shape == (2, 3, 13, 2)
+    assert np.all(np.isfinite(np.asarray(traj)))
+    # conditioning window must be a posterior sample consistent with
+    # moments: mean of many samples ~ Ex
+    traj2 = lds.predict(glob, (J[0], h[0]), KEY, num_steps=2,
+                        num_samples=400)
+    emp = jnp.mean(traj2[:, :8], axis=0)
+    sd = jnp.sqrt(jnp.maximum(jax.vmap(jnp.diag)(
+        (ExxT[0] - Ex[0][..., :, None] * Ex[0][..., None, :])), 1e-10))
+    assert bool(jnp.all(jnp.abs(emp - Ex[0]) < 5 * sd / np.sqrt(400) + 1e-6))
