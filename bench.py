@@ -2,17 +2,15 @@
 
 Measures LDS-SVAE SVI throughput (BASELINE config 2: bouncing-dot
 sequences, T=100) as end-to-end training-step sequences/sec on one chip --
-recognition MLP + associative-scan Kalman E-step (smoother + 2-particle
+recognition MLP + Kalman E-step (sequential-scan smoother + 2-particle
 sampler) + decoder ELBO + natural-gradient/adam update, all inside one
-jitted step.
+jitted step; the fused Pallas E-step is reported alongside.
 
-``vs_baseline`` divides by the measured throughput of the sequential
-float64 NumPy E-step oracle (svae_tpu/ops/oracles.py) on this host's CPU --
-the stand-in for the reference implementation's per-sequence Kalman message
-passing while the reference mount is empty (BASELINE.md measurement plan;
-the oracle is the same O(T) recursion the reference's Cython implements,
-and the denominator omits the oracle's would-be net/decoder cost, which is
-conservative in the reference's favor).
+``vs_baseline`` divides by the strongest CPU E-step available on the host
+(native C++ twin of the reference's Cython kernels, else the NumPy f64
+oracle) -- the stand-in for the reference while its mount is empty
+(BASELINE.md measurement plan; the denominator omits the reference's
+would-be net/decoder cost, conservative in its favor).
 
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -20,7 +18,6 @@ Prints exactly one JSON line:
 
 import json
 import os
-import sys
 import time
 
 import numpy as np

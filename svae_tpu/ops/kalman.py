@@ -47,11 +47,8 @@ oracles against the closed-form smoother.
 Natural-parameter convention: see svae_tpu/ops/__init__.py.
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
-import jax.scipy.linalg as jsl
 
 from svae_tpu.utils import smallchol
 from svae_tpu.utils.psd import symmetrize, f32_linalg
