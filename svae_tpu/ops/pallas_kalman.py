@@ -554,3 +554,152 @@ def lds_estep_pallas(init, pairs, nodes, key, num_samples, block_b=128,
                                 block_b=block_b, interpret=interpret,
                                 filtered=(Jf, hf))
     return samples, (Ex, ExxT, Exnxt), logZ
+
+
+# --------------------------------------------------------------------------
+# per-sequence pair potentials (the SLDS state-averaged case)
+# --------------------------------------------------------------------------
+
+
+def _filter_kernel_bpairs(J0, h0, P1f, P2f, P3f, Pcf, N1f, N2f, Jf_out,
+                          hf_out, ln_out, Js, hs, acc, *, d):
+    """Filter kernel with pair potentials streamed per (t, batch) like the
+    nodes -- the layout the SLDS mean-field needs (averaged pairs differ
+    per sequence). Same math as _filter_kernel with (B,)-vector pairs."""
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _init():
+        Js[:] = J0[:]
+        hs[:] = h0[:]
+        acc[:] = jnp.zeros_like(acc)
+
+    Jrows = Js[:]
+    hrows = hs[:]
+    p1 = P1f[0]  # (d*d, B)
+    p2 = P2f[0]
+    p3 = P3f[0]
+    pc = Pcf[0][0]  # (B,)
+
+    a = [Jrows[r] - 2.0 * p3[r] for r in range(d * d)]
+    L = _chol_rows(a, d)
+    h_list = [hrows[r] for r in range(d)]
+    v = _solve_lower_rows(L, h_list, d)
+    logdet = sum(jnp.log(L[(i, i)]) for i in range(d)) * 2.0
+    quad = sum(vi * vi for vi in v)
+    acc[0, :] = (
+        acc[0, :] + 0.5 * d * LOG2PI - 0.5 * logdet + 0.5 * quad + pc
+    )
+
+    w = _solve_upper_rows(L, v, d)
+    MinvP2T = []
+    for c in range(d):
+        col = [p2[c * d + j] for j in range(d)]
+        y = _solve_lower_rows(L, col, d)
+        MinvP2T.append(_solve_upper_rows(L, y, d))
+    n1 = N1f[0]
+    newJ = []
+    for i in range(d):
+        for j in range(d):
+            s = -2.0 * p1[i * d + j] - 2.0 * n1[i * d + j]
+            for k in range(d):
+                s = s - p2[i * d + k] * MinvP2T[j][k]
+            newJ.append(s)
+    n2 = N2f[0]
+    newh = []
+    for i in range(d):
+        s = n2[i]
+        for k in range(d):
+            s = s + p2[i * d + k] * w[k]
+        newh.append(s)
+
+    newJ_rows = jnp.stack(newJ, axis=0)
+    newh_rows = jnp.stack(newh, axis=0)
+    Js[:] = newJ_rows
+    hs[:] = newh_rows
+    Jf_out[0, :, :] = newJ_rows
+    hf_out[0, :, :] = newh_rows
+    ln_out[:] = acc[:]
+
+
+def lds_filter_pallas_bpairs(init, pairs, nodes, block_b=128,
+                             interpret=False):
+    """Forward filter with PER-SEQUENCE pair potentials:
+
+      pairs = (P1, P2, P3, Pc) with leading (B, T-1) axes,
+      nodes = (N1 (B, T, d, d), N2 (B, T, d)); init shared over B.
+
+    Returns (logZ (B,), Jf (B, T, d, d), hf (B, T, d)) like
+    :func:`lds_filter_pallas`.
+    """
+    I1, I2, Ic = init
+    P1, P2, P3, Pc = pairs
+    N1, N2 = nodes
+    B, T, d = N2.shape
+    dt = N2.dtype
+
+    pad = (-B) % block_b
+    if pad:
+        N1 = jnp.concatenate(
+            [N1, jnp.broadcast_to(jnp.eye(d, dtype=dt) * -0.5,
+                                  (pad, T, d, d))], axis=0)
+        N2 = jnp.concatenate([N2, jnp.zeros((pad, T, d), dt)], axis=0)
+        padP = lambda a, fill: jnp.concatenate(
+            [a, jnp.broadcast_to(fill, (pad,) + a.shape[1:])], axis=0)
+        P1 = padP(P1, -0.5 * jnp.eye(d, dtype=dt))
+        P2 = padP(P2, jnp.zeros((d, d), dt))
+        P3 = padP(P3, -0.5 * jnp.eye(d, dtype=dt))
+        Pc = padP(Pc, jnp.zeros((), dt))
+    Bp = B + pad
+
+    J0 = (-2.0 * (I1[None] + N1[:, 0])).reshape(Bp, d * d).T
+    h0 = (I2[None] + N2[:, 0]).T
+    pack3 = lambda a, m: jnp.moveaxis(a.reshape(Bp, T - 1, m), 0, -1)
+    N1f = jnp.moveaxis(N1[:, 1:].reshape(Bp, T - 1, d * d), 0, -1)
+    N2f = jnp.moveaxis(N2[:, 1:], 0, -1)
+    P1f = pack3(P1, d * d)
+    P2f = pack3(P2, d * d)
+    P3f = pack3(P3, d * d)
+    Pcf = pack3(Pc, 1)
+
+    dd = d * d
+    kernel = functools.partial(_filter_kernel_bpairs, d=d)
+    out_shape = [
+        jax.ShapeDtypeStruct((T - 1, dd, Bp), dt),
+        jax.ShapeDtypeStruct((T - 1, d, Bp), dt),
+        jax.ShapeDtypeStruct((1, Bp), dt),
+    ]
+    blk = lambda m: pl.BlockSpec((1, m, Bp), lambda t: (t, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    Jf_tail, hf_tail, lognorm = pl.pallas_call(
+        kernel,
+        grid=(T - 1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # J0
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # h0
+            blk(dd), blk(dd), blk(dd), blk(1),      # P1f..Pcf
+            blk(dd), blk(d),                        # N1f, N2f
+        ],
+        out_specs=[blk(dd), blk(d),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((dd, Bp), dt),
+            pltpu.VMEM((d, Bp), dt),
+            pltpu.VMEM((1, Bp), dt),
+        ],
+        interpret=interpret,
+    )(J0, h0, P1f, P2f, P3f, Pcf, N1f, N2f)
+
+    Jf0 = J0.T.reshape(Bp, d, d)
+    hf0 = h0.T
+    Jf = jnp.concatenate(
+        [Jf0[:, None], jnp.moveaxis(Jf_tail, -1, 0).reshape(
+            Bp, T - 1, d, d)], axis=1)
+    hf = jnp.concatenate(
+        [hf0[:, None], jnp.moveaxis(hf_tail, -1, 0)], axis=1)
+
+    from svae_tpu.utils.psd import mvn_logZ_info
+
+    logZ = lognorm[0] + Ic + mvn_logZ_info(Jf[:, -1], hf[:, -1])
+    return logZ[:B], Jf[:B], hf[:B]

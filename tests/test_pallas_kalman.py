@@ -153,3 +153,39 @@ def test_pallas_estep_composition():
         lambda n1, n2: kalman.lds_smoother(init, pairs, (n1, n2)))(N1, h)
     np.testing.assert_allclose(np.asarray(logZ), np.asarray(lZx), rtol=2e-5)
     np.testing.assert_allclose(np.asarray(Ex), np.asarray(Exx), atol=2e-5)
+
+
+def test_pallas_filter_bpairs_matches_xla():
+    """Per-sequence pair potentials (the SLDS averaged-pairs layout)."""
+    from svae_tpu.ops.pallas_kalman import lds_filter_pallas_bpairs
+
+    B, T, d = 3, 6, 2
+    key = jax.random.PRNGKey(7)
+    glob = lds.init_pgm_param(key, d)
+    init, pairs_sh = lds.expected_chain_potentials(glob, T)
+    init = jax.tree.map(lambda a: a.astype(jnp.float32), init)
+    pairs_sh = jax.tree.map(lambda a: a.astype(jnp.float32), pairs_sh)
+    # perturb pairs per sequence (keeping definiteness)
+    ks = jax.random.split(key, 4)
+    scale = (1.0 + 0.2 * jax.random.uniform(ks[0], (B, 1, 1, 1))).astype(
+        jnp.float32)
+    P1 = pairs_sh[0][None] * scale
+    P2 = pairs_sh[1][None] * jnp.ones((B, 1, 1, 1), jnp.float32)
+    P3 = pairs_sh[2][None] * scale
+    Pc = jnp.broadcast_to(pairs_sh[3][None], (B, T - 1)).astype(jnp.float32)
+    k1, k2 = jax.random.split(ks[1])
+    Jd = jax.nn.softplus(jax.random.normal(k1, (B, T, d), jnp.float32)) + 0.5
+    h = jax.random.normal(k2, (B, T, d), jnp.float32)
+    N1 = -0.5 * jax.vmap(jax.vmap(jnp.diag))(Jd)
+
+    logZ_p, Jf_p, hf_p = lds_filter_pallas_bpairs(
+        init, (P1, P2, P3, Pc), (N1, h), interpret=True)
+    logZ_x, Jf_x, hf_x = jax.vmap(
+        lambda p1, p2, p3, pc, n1, n2: kalman.lds_filter(
+            init, (p1, p2, p3, pc), (n1, n2)))(P1, P2, P3, Pc, N1, h)
+    np.testing.assert_allclose(np.asarray(logZ_p), np.asarray(logZ_x),
+                               rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(Jf_p), np.asarray(Jf_x),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(hf_p), np.asarray(hf_x),
+                               atol=2e-5)
