@@ -55,11 +55,11 @@ def measure(data_parallel, per_shard_batch=4, T=30, d_obs=16, d=8,
         prior, N, mesh, B, num_samples=2, donate=False)
     s = opt_init(params, net)
     p, n = params, net
-    p, n, s, e = step(p, n, s, data, jax.random.PRNGKey(1))
+    p, n, s, e, _ = step(p, n, s, data, jax.random.PRNGKey(1))
     jax.block_until_ready(e)
     t0 = time.perf_counter()
     for i in range(iters):
-        p, n, s, e = step(p, n, s, data, jax.random.PRNGKey(2 + i))
+        p, n, s, e, _ = step(p, n, s, data, jax.random.PRNGKey(2 + i))
     jax.block_until_ready(e)
     dt = (time.perf_counter() - t0) / iters
     assert bool(jnp.isfinite(e))

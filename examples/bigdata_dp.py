@@ -56,7 +56,17 @@ def main(argv=None):
                                  cfg.image_width),
     )
 
+    # tc.batch_size is the GLOBAL batch; each of the P processes feeds its
+    # Bg/P host-local slice and the slices are assembled into one global
+    # sharded array over the mesh's data axis (so the N/global_batch stats
+    # scaling in the DP step counts each sequence exactly once).
     Bg = tc.batch_size
+    P_ = jax.process_count()
+    assert Bg % P_ == 0, f"global batch {Bg} not divisible by {P_} hosts"
+    B_local = Bg // P_
+    batch_sharding = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec("data"))
+
     opt_init, train_step = make_dp_train_step(
         lds.run_inference, recognition.mlp_recognize, decoders.mlp_loglike,
         pgm_prior, N, mesh, Bg, num_samples=tc.num_samples,
@@ -64,19 +74,26 @@ def main(argv=None):
         net_step_size=tc.net_step_size, donate=False)
     opt_state = opt_init(pgm_params, net_params)
 
+    def global_batch(local_slice):
+        if P_ == 1:
+            return local_slice
+        return jax.make_array_from_process_local_data(
+            batch_sharding, local_slice)
+
     writer = MetricsWriter(tc.metrics_path)
-    num_batches = data.shape[0] // Bg
+    num_batches = data.shape[0] // B_local
     hist = []
     p, n, s = pgm_params, net_params, opt_state
     step = 0
     t0 = time.perf_counter()
     for epoch in range(tc.num_epochs):
         for b in range(num_batches):
-            batch = data[b * Bg:(b + 1) * Bg]
+            batch = global_batch(data[b * B_local:(b + 1) * B_local])
             key, k = jax.random.split(key)
-            p, n, s, e = train_step(p, n, s, batch, k)
+            p, n, s, e, terms = train_step(p, n, s, batch, k)
             hist.append(float(e))
-            writer.write(step, elbo=hist[-1])
+            writer.write(step, elbo=hist[-1],
+                         **{kk: float(v) for kk, v in terms.items()})
             step += 1
     jax.block_until_ready(e)
     dt = time.perf_counter() - t0

@@ -62,8 +62,11 @@ def main(argv=None):
         latents = np.asarray(h / J)
         plotting.plot_gmm_clusters(tc.plot_path, latents, pgm_params)
 
-    print(f"steps={len(hist)} first_elbo={hist[0]:.4f} "
-          f"last_elbo={hist[-1]:.4f}")
+    if hist:
+        print(f"steps={len(hist)} first_elbo={hist[0]:.4f} "
+              f"last_elbo={hist[-1]:.4f}")
+    else:
+        print("steps=0 (already at the target epoch count)")
     return hist
 
 

@@ -66,8 +66,11 @@ def main(argv=None):
         plotting.plot_lds_reconstruction(tc.plot_path, np.asarray(seq[0]),
                                          np.asarray(recon))
 
-    print(f"steps={len(hist)} first_elbo={hist[0]:.4f} "
-          f"last_elbo={hist[-1]:.4f}")
+    if hist:
+        print(f"steps={len(hist)} first_elbo={hist[0]:.4f} "
+              f"last_elbo={hist[-1]:.4f}")
+    else:
+        print("steps=0 (already at the target epoch count)")
     return hist
 
 

@@ -78,8 +78,11 @@ def main(argv=None):
     pgm_params, net_params, opt_state, hist = experiment.run(
         tc, train_step, pgm_params, net_params, opt_state, data)
 
-    print(f"steps={len(hist)} first_elbo={hist[0]:.4f} "
-          f"last_elbo={hist[-1]:.4f}")
+    if hist:
+        print(f"steps={len(hist)} first_elbo={hist[0]:.4f} "
+              f"last_elbo={hist[-1]:.4f}")
+    else:
+        print("steps=0 (already at the target epoch count)")
     return hist
 
 

@@ -22,6 +22,7 @@ class TrainConfig:
     net_step_size: float = 1e-3
     natgrad_scale: float = 1.0
     seed: int = 0
+    metrics_every: int = 1  # callback/metrics cadence (device fence period)
     metrics_path: Optional[str] = None
     checkpoint_dir: Optional[str] = None
     checkpoint_every: int = 500

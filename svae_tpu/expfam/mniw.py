@@ -79,6 +79,16 @@ def expectedstats(natparam):
     return (E_t1, E_t2, E_t3, E_t4)
 
 
+def posterior_mean_params(natparam):
+    """Posterior-mean dynamics ``(E[A], E[Sigma])`` -- the single source of
+    truth for forecasting/rollout consumers (models.lds.predict):
+    ``E[A] = M``, ``E[Sigma] = Phi / (nu - d - 1)`` (IW mean, nu > d+1)."""
+    Phi, M, V, nu = natural_to_standard(natparam)
+    d = M.shape[-2]
+    E_Sigma = Phi / (nu[..., None, None] - d - 1.0)
+    return M, symmetrize(E_Sigma)
+
+
 def expected_pair_potential(natparam):
     """Expected LDS pair potential pieces for the Kalman kernels.
 

@@ -122,6 +122,40 @@ def _sequence_inference(init, pairs, nn_potentials, key, num_samples,
 
 
 # --------------------------------------------------------------------------
+# batched fused-kernel E-step (backend="pallas")
+# --------------------------------------------------------------------------
+
+
+def _batched_inference_pallas(init, pairs, nn_potentials, key, num_samples,
+                              interpret=False):
+    """Minibatch E-step on the differentiable fused Pallas kernels
+    (svae_tpu/ops/pallas_vjp.py) -- the batch rides the kernels' lane axis
+    natively instead of vmapping the per-sequence scan. Returns the same
+    (samples, stats, local_kl) as the vmapped XLA path (parity-tested)."""
+    from svae_tpu.ops import pallas_vjp
+
+    J_diag, h = nn_potentials
+    N1 = -0.5 * jnp.vectorize(jnp.diag, signature="(d)->(d,d)")(J_diag)
+    nodes = (N1, h)
+    samples, (Ex, ExxT, Exnxt), logZ = pallas_vjp.lds_estep(
+        init, pairs, nodes, key, num_samples, interpret=interpret)
+
+    local_kl = (jnp.sum(N1 * ExxT) + jnp.sum(h * Ex) - jnp.sum(logZ))
+    B, T = Ex.shape[0], Ex.shape[1]
+    cnt = jnp.asarray(B, Ex.dtype)
+    niw_stats = (jnp.sum(ExxT[:, 0], axis=0), jnp.sum(Ex[:, 0], axis=0),
+                 cnt, cnt)
+    ExnxtT = jnp.swapaxes(Exnxt, -1, -2)  # E[x_{t+1} x_t^T]
+    mniw_stats = (
+        jnp.sum(ExxT[:, 1:], axis=(0, 1)),
+        jnp.sum(ExnxtT, axis=(0, 1)),
+        jnp.sum(ExxT[:, :-1], axis=(0, 1)),
+        (T - 1) * cnt,
+    )
+    return samples, (niw_stats, mniw_stats), local_kl
+
+
+# --------------------------------------------------------------------------
 # prior KL
 # --------------------------------------------------------------------------
 
@@ -151,7 +185,8 @@ def prior_kl(global_natparam, prior_natparam):
 
 @f32_linalg
 def run_inference(prior_natparam, global_natparam, nn_potentials, key,
-                  num_samples=1, parallel=False):
+                  num_samples=1, parallel=False, backend="xla",
+                  interpret=False):
     """E-step + sampling + KLs (reference: svae/models/lds.py:run_inference).
 
     ``nn_potentials`` = (J_diag, h), each (T, d) for a single sequence or
@@ -159,6 +194,15 @@ def run_inference(prior_natparam, global_natparam, nn_potentials, key,
     are summed). Returns (samples, stats, global_kl, local_kl) with samples
     shaped (S, T, d) or (S, B, T, d) -- sample axes lead, per the decoder
     loglike contract (svae_tpu/nets/decoders.py).
+
+    ``backend``: "xla" runs the lax.scan kernels (svae_tpu/ops/kalman.py,
+    sequential or -- ``parallel=True`` -- O(log T)-span associative scan);
+    "pallas" runs the fused differentiable Pallas kernels with hand-derived
+    adjoints (svae_tpu/ops/pallas_vjp.py; the production TPU training path,
+    the analogue of the reference's Cython fast path --
+    svae/lds/cython_lds_inference.pyx). Both are drop-in equivalent
+    (parity-tested, tests/test_pallas_vjp.py, tests/test_lds_model.py);
+    ``interpret`` runs Pallas in interpreter mode (CPU testing).
     """
     J_diag, h = nn_potentials
     batched = J_diag.ndim == 3
@@ -166,7 +210,14 @@ def run_inference(prior_natparam, global_natparam, nn_potentials, key,
     init, pairs = expected_chain_potentials(global_natparam, T,
                                             dtype=h.dtype)
 
-    if batched:
+    if backend == "pallas":
+        if not batched:
+            J_diag, h = J_diag[None], h[None]
+        samples, stats, local_kl = _batched_inference_pallas(
+            init, pairs, (J_diag, h), key, num_samples, interpret=interpret)
+        if not batched:
+            samples = samples[:, 0]
+    elif batched:
         B = J_diag.shape[0]
         keys = jax.random.split(key, B)
         samples, stats, local_kls = jax.vmap(
@@ -229,12 +280,9 @@ def predict(global_natparam, nn_potentials, key, num_steps, num_samples=1,
     from svae_tpu.utils.psd import symmetrize
 
     niw_np, mniw_np = global_natparam
-    Phi, M, V, nu = mniw.natural_to_standard(mniw_np)
-    A = M  # E[A] under the MNIW posterior
-    # E[Sigma] = Phi / (nu - d - 1)
-    d = M.shape[-1]
-    Sigma = Phi / (nu - d - 1.0)
-    Ls = smallchol.chol(symmetrize(Sigma))
+    A, Sigma = mniw.posterior_mean_params(mniw_np)
+    d = A.shape[-1]
+    Ls = smallchol.chol(Sigma)
 
     J_diag, h = nn_potentials
     batched = J_diag.ndim == 3

@@ -1,12 +1,16 @@
 """ctypes bindings for the native C++ sequential kernels (native/).
 
-The library is (re)built lazily with g++ on first use when the source is
-newer than the shared object; everything degrades gracefully (``available``
+The library is (re)built lazily with g++ on first use when the committed
+source's content hash differs from the one recorded at the last build (a
+sidecar ``.src_sha`` file; mtimes are NOT used -- git does not preserve
+them, so a stale foreign-built binary could otherwise be loaded silently
+on a fresh checkout). Everything degrades gracefully (``available``
 returns False) on hosts without a toolchain. API mirrors
 ``svae_tpu/ops/oracles.py`` (same shapes, float64).
 """
 
 import ctypes
+import hashlib
 import os
 import subprocess
 
@@ -15,14 +19,30 @@ import numpy as np
 _SRC_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
 _SRC = os.path.abspath(os.path.join(_SRC_DIR, "svae_native.cpp"))
 _LIB = os.path.abspath(os.path.join(_SRC_DIR, "libsvae_native.so"))
+_STAMP = _LIB + ".src_sha"
 
 _lib = None
 _build_error = None
 
 
-def _build():
+def _src_sha():
+    with open(_SRC, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
+
+
+def _build(sha):
     cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", _SRC, "-o", _LIB]
     subprocess.run(cmd, check=True, capture_output=True)
+    with open(_STAMP, "w") as f:
+        f.write(sha)
+
+
+def _stamp_matches(sha):
+    try:
+        with open(_STAMP) as f:
+            return f.read().strip() == sha
+    except OSError:
+        return False
 
 
 def _load():
@@ -30,9 +50,9 @@ def _load():
     if _lib is not None or _build_error is not None:
         return _lib
     try:
-        if (not os.path.exists(_LIB)
-                or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
-            _build()
+        sha = _src_sha()
+        if not os.path.exists(_LIB) or not _stamp_matches(sha):
+            _build(sha)
         lib = ctypes.CDLL(_LIB)
     except Exception as e:  # no toolchain / load failure
         _build_error = e

@@ -1,0 +1,749 @@
+"""Differentiable fused Pallas Kalman kernels: hand-derived adjoint
+recursions as ``jax.custom_vjp``.
+
+This is the TPU-native counterpart of the reference's production training
+path -- Cython message-passing kernels with hand-written backward passes
+registered as autograd primitives (reference:
+svae/lds/cython_lds_inference.pyx ``*_grad`` kernels + ``defvjp``;
+SURVEY.md section 2 #13). Three primitives, each a forward Pallas kernel
+plus a hand-derived adjoint Pallas kernel:
+
+  * forward information filter       (adjoint runs backward in time)
+  * backward information filter      (adjoint runs forward in time)
+  * backward conditional sampler     (adjoint runs forward in time)
+
+The smoothed-moment assembly between them is cheap batched XLA built on
+custom-VJP'd unrolled linalg (svae_tpu/utils/smallchol.py), so composing
+the primitives gives a fully differentiable E-step
+(``lds_estep``) whose forward AND backward passes ride fused kernels.
+
+Adjoint derivations (per filter step; the other two are symmetric):
+
+  forward:  M = J_t - 2 P3,  W = M^{-1}
+            J_{t+1} = -2 P1 - 2 N1' - P2 W P2^T
+            h_{t+1} = P2 W h_t + N2'
+            c_t     = d/2 log 2pi - 1/2 log|M| + 1/2 h_t^T W h_t + Pc
+  adjoint, given G = dJ_{t+1} (carry + direct), g = dh_{t+1}, lam = dc:
+            dP1 = dN1' = -2 G            dN2' = g          dPc = lam
+            dP2 = -(G + G^T) P2 W + g (W h_t)^T
+            Wbar = -P2^T G P2 + (P2^T g) h_t^T + lam/2 h_t h_t^T
+            Mbar = sym(-W Wbar W - lam/2 W)
+            dJ_t = Mbar (carry)          dh_t = lam W h_t + W P2^T g
+            dP3 = -2 Mbar
+
+All data rides the kernels' lane-packed layout: batch (or batch x
+particles) on the 128-lane axis, d x d matrix entries row-major on
+sublanes, pair potentials streamed per (t, lane) -- the per-sequence
+("bpairs") layout, so the SAME primitives serve the LDS (shared pairs,
+broadcast outside the primitive; cotangent reduction over the batch is
+then the automatic transpose of the broadcast) and the SLDS state-averaged
+mean-field (per-sequence pairs). Everything also runs under
+``interpret=True`` for CPU-based CI.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from svae_tpu.ops import rowalg as ra
+
+LOG2PI = 1.8378770664093453
+
+
+def _rows(ref_slice, n):
+    """(n, B) array -> list of n lane vectors."""
+    return [ref_slice[i] for i in range(n)]
+
+
+def _store(out_ref, rows):
+    out_ref[0, :, :] = jnp.stack(rows, axis=0)
+
+
+# ==========================================================================
+# forward kernels (per-sequence pair layout)
+# ==========================================================================
+
+
+def _filter_fwd_kernel(J0, h0, P1f, P2f, P3f, Pcf, N1f, N2f,
+                       Jf_out, hf_out, ln_out, Js, hs, acc, *, d):
+    t = pl.program_id(0)
+    dd = d * d
+
+    @pl.when(t == 0)
+    def _():
+        Js[:] = J0[:]
+        hs[:] = h0[:]
+        acc[:] = jnp.zeros_like(acc)
+
+    J = _rows(Js[:], dd)
+    h = _rows(hs[:], d)
+    p1 = _rows(P1f[0], dd)
+    p2 = _rows(P2f[0], dd)
+    p3 = _rows(P3f[0], dd)
+    pc = Pcf[0][0]
+    n1 = _rows(N1f[0], dd)
+    n2 = _rows(N2f[0], d)
+
+    M = ra.sub(J, ra.scale(p3, 2.0))
+    L = ra.chol(M, d)
+    v = ra.solve_lower(L, h, d)
+    acc[0, :] = (acc[0, :] + 0.5 * d * LOG2PI
+                 - 0.5 * ra.logdet_from_chol(L, d)
+                 + 0.5 * ra.dot(v, v) + pc)
+    w = ra.solve_upper(L, v, d)  # M^{-1} h
+    Minv_p2T = ra.solve_upper_mat(
+        L, ra.solve_lower_mat(L, ra.transpose(p2, d), d), d)
+    newJ = ra.sub(ra.sub(ra.scale(p1, -2.0), ra.scale(n1, 2.0)),
+                  ra.matmul(p2, Minv_p2T, d))
+    newh = ra.add(ra.matvec(p2, w, d), n2)
+
+    Js[:] = jnp.stack(newJ, axis=0)
+    hs[:] = jnp.stack(newh, axis=0)
+    _store(Jf_out, newJ)
+    _store(hf_out, newh)
+    ln_out[:] = acc[:]
+
+
+def _backward_fwd_kernel(P1f, P2f, P3f, N1b, N2b, Jb_out, hb_out,
+                         Js, hs, *, d):
+    s = pl.program_id(0)  # processes t = T-2-s (index maps reverse streams)
+    dd = d * d
+
+    @pl.when(s == 0)
+    def _():
+        Js[:] = jnp.zeros_like(Js)
+        hs[:] = jnp.zeros_like(hs)
+
+    Jn = _rows(Js[:], dd)
+    hn = _rows(hs[:], d)
+    p1 = _rows(P1f[0], dd)
+    p2 = _rows(P2f[0], dd)
+    p3 = _rows(P3f[0], dd)
+    n1 = _rows(N1b[0], dd)
+    n2 = _rows(N2b[0], d)
+
+    M = ra.add(ra.sub(ra.scale(p1, -2.0), ra.scale(n1, 2.0)), Jn)
+    L = ra.chol(M, d)
+    b = ra.add(hn, n2)
+    w = ra.cho_solve(L, b, d)
+    newh = ra.matvec_T(p2, w, d)
+    Minv_p2 = ra.solve_upper_mat(L, ra.solve_lower_mat(L, p2, d), d)
+    newJ = ra.sub(ra.scale(p3, -2.0), ra.matmul_TN(p2, Minv_p2, d))
+
+    Js[:] = jnp.stack(newJ, axis=0)
+    hs[:] = jnp.stack(newh, axis=0)
+    _store(Jb_out, newJ)
+    _store(hb_out, newh)
+
+
+def _sampler_fwd_kernel(P2f, P3f, Jft, hft, epsf, xT, x_out, xs, *, d):
+    s = pl.program_id(0)  # t = T-2-s
+    dd = d * d
+
+    @pl.when(s == 0)
+    def _():
+        xs[:] = xT[:]
+
+    x_next = _rows(xs[:], d)
+    p2 = _rows(P2f[0], dd)
+    p3 = _rows(P3f[0], dd)
+    jf = _rows(Jft[0], dd)
+    hf = _rows(hft[0], d)
+    eps = _rows(epsf[0], d)
+
+    Jc = ra.sub(jf, ra.scale(p3, 2.0))
+    L = ra.chol(Jc, d)
+    b = ra.add(hf, ra.matvec_T(p2, x_next, d))
+    mu = ra.cho_solve(L, b, d)
+    z = ra.solve_upper(L, eps, d)
+    x = ra.add(mu, z)
+
+    xs[:] = jnp.stack(x, axis=0)
+    _store(x_out, x)
+
+
+# ==========================================================================
+# adjoint kernels (hand-derived; see module docstring)
+# ==========================================================================
+
+
+def _filter_adj_kernel(P2f, P3f, Jft, hft, dJf, dhf, lam,
+                       dG_out, dg_out, dP2_out, dM_out, dJ0_out, dh0_out,
+                       cJ, ch, *, d):
+    s = pl.program_id(0)  # t = T-2-s (reverse of the forward order)
+    dd = d * d
+
+    @pl.when(s == 0)
+    def _():
+        cJ[:] = jnp.zeros_like(cJ)
+        ch[:] = jnp.zeros_like(ch)
+
+    G = ra.add(_rows(cJ[:], dd), _rows(dJf[0], dd))
+    g = ra.add(_rows(ch[:], d), _rows(dhf[0], d))
+    p2 = _rows(P2f[0], dd)
+    p3 = _rows(P3f[0], dd)
+    J = _rows(Jft[0], dd)
+    h = _rows(hft[0], d)
+    lv = lam[0]  # (B,) lognorm cotangent
+
+    M = ra.sub(J, ra.scale(p3, 2.0))
+    L = ra.chol(M, d)
+    W = ra.cho_inverse(L, d)
+    w = ra.matvec(W, h, d)
+    u = ra.matvec_T(p2, g, d)  # P2^T g
+    hbar = [lv * wi + x for wi, x in zip(w, ra.matvec(W, u, d))]
+    Wbar = ra.add(
+        ra.add(ra.scale(ra.matmul(ra.matmul_TN(p2, G, d), p2, d), -1.0),
+               ra.outer(u, h, d)),
+        [0.5 * lv * e for e in ra.outer(h, h, d)])
+    Mbar = ra.sub(ra.scale(ra.matmul(ra.matmul(W, Wbar, d), W, d), -1.0),
+                  [0.5 * lv * e for e in W])
+    Mbar = ra.sym(Mbar, d)
+    Gsym = ra.add(G, ra.transpose(G, d))
+    dP2 = ra.add(ra.scale(ra.matmul(Gsym, ra.matmul(p2, W, d), d), -1.0),
+                 ra.outer(g, w, d))
+
+    _store(dG_out, G)
+    _store(dg_out, g)
+    _store(dP2_out, dP2)
+    _store(dM_out, Mbar)
+    cJ[:] = jnp.stack(Mbar, axis=0)
+    ch[:] = jnp.stack(hbar, axis=0)
+    dJ0_out[:] = cJ[:]
+    dh0_out[:] = ch[:]
+
+
+def _backward_adj_kernel(P1f, P2f, N1b, N2b, Jbn, hbn, dJb, dhb,
+                         dG_out, dP2_out, dM_out, db_out, cJ, ch, *, d):
+    t = pl.program_id(0)  # forward in time (reverse of the fwd kernel)
+    dd = d * d
+
+    @pl.when(t == 0)
+    def _():
+        cJ[:] = jnp.zeros_like(cJ)
+        ch[:] = jnp.zeros_like(ch)
+
+    G = ra.add(_rows(cJ[:], dd), _rows(dJb[0], dd))
+    g = ra.add(_rows(ch[:], d), _rows(dhb[0], d))
+    p1 = _rows(P1f[0], dd)
+    p2 = _rows(P2f[0], dd)
+    n1 = _rows(N1b[0], dd)
+    n2 = _rows(N2b[0], d)
+    Jn = _rows(Jbn[0], dd)
+    hn = _rows(hbn[0], d)
+
+    M = ra.add(ra.sub(ra.scale(p1, -2.0), ra.scale(n1, 2.0)), Jn)
+    L = ra.chol(M, d)
+    W = ra.cho_inverse(L, d)
+    b = ra.add(hn, n2)
+    w = ra.matvec(W, b, d)
+    u = ra.matvec(p2, g, d)  # P2 g  (wbar)
+    bbar = ra.matvec(W, u, d)
+    Wbar = ra.add(
+        ra.scale(ra.matmul_NT(ra.matmul(p2, G, d), p2, d), -1.0),
+        ra.outer(u, b, d))
+    Mbar = ra.sym(
+        ra.scale(ra.matmul(ra.matmul(W, Wbar, d), W, d), -1.0), d)
+    Gsym = ra.add(G, ra.transpose(G, d))
+    dP2 = ra.add(ra.scale(ra.matmul(ra.matmul(W, p2, d), Gsym, d), -1.0),
+                 ra.outer(w, g, d))
+
+    _store(dG_out, G)
+    _store(dP2_out, dP2)
+    _store(dM_out, Mbar)
+    _store(db_out, bbar)
+    cJ[:] = jnp.stack(Mbar, axis=0)
+    ch[:] = jnp.stack(bbar, axis=0)
+
+
+def _sampler_adj_kernel(P2f, P3f, Jft, hft, xb, xnext, dx,
+                        dJc_out, dhf_out, dP2_out, dxT_out, cx, *, d):
+    t = pl.program_id(0)  # forward in time
+    dd = d * d
+
+    @pl.when(t == 0)
+    def _():
+        cx[:] = jnp.zeros_like(cx)
+
+    xbar = ra.add(_rows(cx[:], d), _rows(dx[0], d))
+    p2 = _rows(P2f[0], dd)
+    p3 = _rows(P3f[0], dd)
+    jf = _rows(Jft[0], dd)
+    hf = _rows(hft[0], d)
+    x_t = _rows(xb[0], d)
+    x_n = _rows(xnext[0], d)
+
+    Jc = ra.sub(jf, ra.scale(p3, 2.0))
+    L = ra.chol(Jc, d)
+    W = ra.cho_inverse(L, d)
+    b = ra.add(hf, ra.matvec_T(p2, x_n, d))
+    mu = ra.matvec(W, b, d)
+    z = ra.sub(x_t, mu)
+    bbar = ra.matvec(W, xbar, d)
+    u = ra.solve_lower(L, xbar, d)
+    Lbar = ra.scale(ra.tril(ra.outer(z, u, d), d), -1.0)
+    Jc_bar = ra.sym(
+        ra.add(ra.scale(ra.outer(bbar, mu, d), -1.0),
+               ra.chol_vjp(L, Lbar, d)), d)
+    dP2 = ra.outer(x_n, bbar, d)
+
+    _store(dJc_out, Jc_bar)
+    _store(dhf_out, bbar)
+    _store(dP2_out, dP2)
+    cx[:] = jnp.stack(ra.matvec(p2, bbar, d), axis=0)
+    dxT_out[:] = cx[:]
+
+
+# ==========================================================================
+# pallas_call plumbing
+# ==========================================================================
+
+
+def _blk(m, Bp, rev=None):
+    if rev is None:
+        return pl.BlockSpec((1, m, Bp), lambda s: (s, 0, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.BlockSpec((1, m, Bp), lambda s: (rev - s, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _whole():
+    return pl.BlockSpec(memory_space=pltpu.VMEM)
+
+
+def _filter_fwd_call(J0, h0, P1f, P2f, P3f, Pcf, N1f, N2f, *, d, interpret):
+    T1, dd, Bp = P1f.shape
+    dt = J0.dtype
+    return pl.pallas_call(
+        functools.partial(_filter_fwd_kernel, d=d),
+        grid=(T1,),
+        in_specs=[_whole(), _whole(), _blk(dd, Bp), _blk(dd, Bp),
+                  _blk(dd, Bp), _blk(1, Bp), _blk(dd, Bp), _blk(d, Bp)],
+        out_specs=[_blk(dd, Bp), _blk(d, Bp), _whole()],
+        out_shape=[jax.ShapeDtypeStruct((T1, dd, Bp), dt),
+                   jax.ShapeDtypeStruct((T1, d, Bp), dt),
+                   jax.ShapeDtypeStruct((1, Bp), dt)],
+        scratch_shapes=[pltpu.VMEM((dd, Bp), dt), pltpu.VMEM((d, Bp), dt),
+                        pltpu.VMEM((1, Bp), dt)],
+        interpret=interpret,
+    )(J0, h0, P1f, P2f, P3f, Pcf, N1f, N2f)
+
+
+def _filter_adj_call(P2f, P3f, Jft, hft, dJf, dhf, lam, *, d, interpret):
+    T1, dd, Bp = P2f.shape
+    dt = Jft.dtype
+    r = T1 - 1
+    return pl.pallas_call(
+        functools.partial(_filter_adj_kernel, d=d),
+        grid=(T1,),
+        in_specs=[_blk(dd, Bp, r), _blk(dd, Bp, r), _blk(dd, Bp, r),
+                  _blk(d, Bp, r), _blk(dd, Bp, r), _blk(d, Bp, r),
+                  _whole()],
+        out_specs=[_blk(dd, Bp, r), _blk(d, Bp, r), _blk(dd, Bp, r),
+                   _blk(dd, Bp, r), _whole(), _whole()],
+        out_shape=[jax.ShapeDtypeStruct((T1, dd, Bp), dt),
+                   jax.ShapeDtypeStruct((T1, d, Bp), dt),
+                   jax.ShapeDtypeStruct((T1, dd, Bp), dt),
+                   jax.ShapeDtypeStruct((T1, dd, Bp), dt),
+                   jax.ShapeDtypeStruct((dd, Bp), dt),
+                   jax.ShapeDtypeStruct((d, Bp), dt)],
+        scratch_shapes=[pltpu.VMEM((dd, Bp), dt), pltpu.VMEM((d, Bp), dt)],
+        interpret=interpret,
+    )(P2f, P3f, Jft, hft, dJf, dhf, lam)
+
+
+def _backward_fwd_call(P1f, P2f, P3f, N1b, N2b, *, d, interpret):
+    T1, dd, Bp = P1f.shape
+    dt = N2b.dtype
+    r = T1 - 1
+    return pl.pallas_call(
+        functools.partial(_backward_fwd_kernel, d=d),
+        grid=(T1,),
+        in_specs=[_blk(dd, Bp, r), _blk(dd, Bp, r), _blk(dd, Bp, r),
+                  _blk(dd, Bp, r), _blk(d, Bp, r)],
+        out_specs=[_blk(dd, Bp, r), _blk(d, Bp, r)],
+        out_shape=[jax.ShapeDtypeStruct((T1, dd, Bp), dt),
+                   jax.ShapeDtypeStruct((T1, d, Bp), dt)],
+        scratch_shapes=[pltpu.VMEM((dd, Bp), dt), pltpu.VMEM((d, Bp), dt)],
+        interpret=interpret,
+    )(P1f, P2f, P3f, N1b, N2b)
+
+
+def _backward_adj_call(P1f, P2f, N1b, N2b, Jbn, hbn, dJb, dhb, *, d,
+                       interpret):
+    T1, dd, Bp = P1f.shape
+    dt = N2b.dtype
+    return pl.pallas_call(
+        functools.partial(_backward_adj_kernel, d=d),
+        grid=(T1,),
+        in_specs=[_blk(dd, Bp), _blk(dd, Bp), _blk(dd, Bp), _blk(d, Bp),
+                  _blk(dd, Bp), _blk(d, Bp), _blk(dd, Bp), _blk(d, Bp)],
+        out_specs=[_blk(dd, Bp), _blk(dd, Bp), _blk(dd, Bp), _blk(d, Bp)],
+        out_shape=[jax.ShapeDtypeStruct((T1, dd, Bp), dt),
+                   jax.ShapeDtypeStruct((T1, dd, Bp), dt),
+                   jax.ShapeDtypeStruct((T1, dd, Bp), dt),
+                   jax.ShapeDtypeStruct((T1, d, Bp), dt)],
+        scratch_shapes=[pltpu.VMEM((dd, Bp), dt), pltpu.VMEM((d, Bp), dt)],
+        interpret=interpret,
+    )(P1f, P2f, N1b, N2b, Jbn, hbn, dJb, dhb)
+
+
+def _sampler_fwd_call(P2f, P3f, Jft, hft, epsf, xT, *, d, interpret):
+    T1, dd, Bp = P2f.shape
+    dt = xT.dtype
+    r = T1 - 1
+    return pl.pallas_call(
+        functools.partial(_sampler_fwd_kernel, d=d),
+        grid=(T1,),
+        in_specs=[_blk(dd, Bp, r), _blk(dd, Bp, r), _blk(dd, Bp, r),
+                  _blk(d, Bp, r), _blk(d, Bp, r), _whole()],
+        out_specs=_blk(d, Bp, r),
+        out_shape=jax.ShapeDtypeStruct((T1, d, Bp), dt),
+        scratch_shapes=[pltpu.VMEM((d, Bp), dt)],
+        interpret=interpret,
+    )(P2f, P3f, Jft, hft, epsf, xT)
+
+
+def _sampler_adj_call(P2f, P3f, Jft, hft, xb, xnext, dx, *, d, interpret):
+    T1, dd, Bp = P2f.shape
+    dt = xb.dtype
+    return pl.pallas_call(
+        functools.partial(_sampler_adj_kernel, d=d),
+        grid=(T1,),
+        in_specs=[_blk(dd, Bp), _blk(dd, Bp), _blk(dd, Bp), _blk(d, Bp),
+                  _blk(d, Bp), _blk(d, Bp), _blk(d, Bp)],
+        out_specs=[_blk(dd, Bp), _blk(d, Bp), _blk(dd, Bp), _whole()],
+        out_shape=[jax.ShapeDtypeStruct((T1, dd, Bp), dt),
+                   jax.ShapeDtypeStruct((T1, d, Bp), dt),
+                   jax.ShapeDtypeStruct((T1, dd, Bp), dt),
+                   jax.ShapeDtypeStruct((d, Bp), dt)],
+        scratch_shapes=[pltpu.VMEM((d, Bp), dt)],
+        interpret=interpret,
+    )(P2f, P3f, Jft, hft, xb, xnext, dx)
+
+
+# ==========================================================================
+# custom-VJP primitives (packed layout)
+# ==========================================================================
+
+
+@functools.lru_cache(maxsize=4)
+def _prims(d, interpret):
+    """Build the three custom-VJP primitives for a given (d, interpret)."""
+
+    @jax.custom_vjp
+    def filter_prim(J0, h0, P1f, P2f, P3f, Pcf, N1f, N2f):
+        return _filter_fwd_call(J0, h0, P1f, P2f, P3f, Pcf, N1f, N2f,
+                                d=d, interpret=interpret)
+
+    def filter_fwd(J0, h0, P1f, P2f, P3f, Pcf, N1f, N2f):
+        out = _filter_fwd_call(J0, h0, P1f, P2f, P3f, Pcf, N1f, N2f,
+                               d=d, interpret=interpret)
+        Jf_tail, hf_tail, _ = out
+        Jft = jnp.concatenate([J0[None], Jf_tail[:-1]], axis=0)
+        hft = jnp.concatenate([h0[None], hf_tail[:-1]], axis=0)
+        return out, (P2f, P3f, Jft, hft)
+
+    def filter_bwd(res, cots):
+        P2f, P3f, Jft, hft = res
+        dJf, dhf, dln = cots
+        T1 = P2f.shape[0]
+        dG, dg, dP2, dM, dJ0, dh0 = _filter_adj_call(
+            P2f, P3f, Jft, hft, dJf, dhf, dln, d=d, interpret=interpret)
+        dP1 = -2.0 * dG
+        dP3 = -2.0 * dM
+        dPc = jnp.broadcast_to(dln[None], (T1,) + dln.shape)
+        dN1 = -2.0 * dG
+        dN2 = dg
+        return (dJ0, dh0, dP1, dP2, dP3, dPc, dN1, dN2)
+
+    filter_prim.defvjp(filter_fwd, filter_bwd)
+
+    @jax.custom_vjp
+    def backward_prim(P1f, P2f, P3f, N1b, N2b):
+        return _backward_fwd_call(P1f, P2f, P3f, N1b, N2b, d=d,
+                                  interpret=interpret)
+
+    def backward_fwd(P1f, P2f, P3f, N1b, N2b):
+        out = _backward_fwd_call(P1f, P2f, P3f, N1b, N2b, d=d,
+                                 interpret=interpret)
+        Jb_body, hb_body = out
+        zJ = jnp.zeros_like(Jb_body[:1])
+        zh = jnp.zeros_like(hb_body[:1])
+        Jbn = jnp.concatenate([Jb_body[1:], zJ], axis=0)
+        hbn = jnp.concatenate([hb_body[1:], zh], axis=0)
+        return out, (P1f, P2f, N1b, N2b, Jbn, hbn)
+
+    def backward_bwd(res, cots):
+        P1f, P2f, N1b, N2b, Jbn, hbn = res
+        dJb, dhb = cots
+        dG, dP2, dM, db = _backward_adj_call(
+            P1f, P2f, N1b, N2b, Jbn, hbn, dJb, dhb, d=d,
+            interpret=interpret)
+        return (-2.0 * dM, dP2, -2.0 * dG, -2.0 * dM, db)
+
+    backward_prim.defvjp(backward_fwd, backward_bwd)
+
+    @jax.custom_vjp
+    def sampler_prim(P2f, P3f, Jft, hft, epsf, xT):
+        return _sampler_fwd_call(P2f, P3f, Jft, hft, epsf, xT, d=d,
+                                 interpret=interpret)
+
+    def sampler_fwd(P2f, P3f, Jft, hft, epsf, xT):
+        xb = _sampler_fwd_call(P2f, P3f, Jft, hft, epsf, xT, d=d,
+                               interpret=interpret)
+        return xb, (P2f, P3f, Jft, hft, xb, xT)
+
+    def sampler_bwd(res, dx):
+        P2f, P3f, Jft, hft, xb, xT = res
+        xnext = jnp.concatenate([xb[1:], xT[None]], axis=0)
+        dJc, dhf, dP2, dxT = _sampler_adj_call(
+            P2f, P3f, Jft, hft, xb, xnext, dx, d=d, interpret=interpret)
+        return (dP2, -2.0 * dJc, dJc, dhf, jnp.zeros_like(dx), dxT)
+
+    sampler_prim.defvjp(sampler_fwd, sampler_bwd)
+
+    return filter_prim, backward_prim, sampler_prim
+
+
+# ==========================================================================
+# packing glue (differentiable XLA; transposes handle pad/broadcast)
+# ==========================================================================
+
+
+def _pad_batch(x, pad, fill):
+    """Pad the leading batch axis with ``fill`` (broadcast to the trailing
+    shape)."""
+    if pad == 0:
+        return x
+    f = jnp.broadcast_to(fill, (pad,) + x.shape[1:]).astype(x.dtype)
+    return jnp.concatenate([x, f], axis=0)
+
+
+def _pack(x, m):
+    """(Bp, T, ...) -> (T, m, Bp)."""
+    Bp, T = x.shape[:2]
+    return jnp.moveaxis(x.reshape(Bp, T, m), 0, -1)
+
+
+def _unpack(x, shape_tail):
+    """(T, m, Bp) -> (Bp, T, *shape_tail)."""
+    T, m, Bp = x.shape
+    return jnp.moveaxis(x, -1, 0).reshape((Bp, T) + shape_tail)
+
+
+def _prep_chain(pairs, nodes, block_b):
+    """Broadcast shared pairs over the batch, pad lanes, pack everything.
+
+    Returns (packed dict, B, T, d, Bp)."""
+    P1, P2, P3, Pc = pairs
+    N1, N2 = nodes
+    B, T, d = N2.shape
+    dt = N2.dtype
+    if P1.ndim == 3:  # shared pairs -> broadcast (cotangents sum over B)
+        P1 = jnp.broadcast_to(P1[None], (B,) + P1.shape)
+        P2 = jnp.broadcast_to(P2[None], (B,) + P2.shape)
+        P3 = jnp.broadcast_to(P3[None], (B,) + P3.shape)
+        Pc = jnp.broadcast_to(Pc[None], (B,) + Pc.shape)
+
+    pad = (-B) % block_b
+    eye = jnp.eye(d, dtype=dt)
+    N1 = _pad_batch(N1, pad, -0.5 * eye)
+    N2 = _pad_batch(N2, pad, jnp.zeros((), dt))
+    P1 = _pad_batch(P1, pad, -0.5 * eye)
+    P2 = _pad_batch(P2, pad, jnp.zeros((), dt))
+    P3 = _pad_batch(P3, pad, -0.5 * eye)
+    Pc = _pad_batch(Pc, pad, jnp.zeros((), dt))
+    Bp = B + pad
+
+    packed = dict(
+        P1f=_pack(P1, d * d), P2f=_pack(P2, d * d), P3f=_pack(P3, d * d),
+        Pcf=_pack(Pc[..., None], 1),
+        N1f=_pack(N1[:, 1:], d * d), N2f=_pack(N2[:, 1:], d),
+        N1_0=N1[:, 0], N2_0=N2[:, 0],
+    )
+    return packed, B, T, d, Bp
+
+
+# ==========================================================================
+# differentiable public entry points
+# ==========================================================================
+
+
+def lds_filter(init, pairs, nodes, block_b=128, interpret=False):
+    """Forward filter, differentiable: (logZ (B,), Jf (B,T,d,d),
+    hf (B,T,d)). ``pairs`` may be shared (T-1, ...) or per-sequence
+    (B, T-1, ...); nodes are per-sequence. Matches ``kalman.lds_filter``
+    vmapped over the batch (tested)."""
+    I1, I2, Ic = init
+    packed, B, T, d, Bp = _prep_chain(pairs, nodes, block_b)
+    filter_prim, _, _ = _prims(d, interpret)
+
+    J0 = _pack((-2.0 * (I1[None] + packed["N1_0"]))[:, None], d * d)[0]
+    h0 = _pack((I2[None] + packed["N2_0"])[:, None], d)[0]
+    Jf_tail, hf_tail, ln = filter_prim(
+        J0, h0, packed["P1f"], packed["P2f"], packed["P3f"], packed["Pcf"],
+        packed["N1f"], packed["N2f"])
+
+    Jf0 = jnp.moveaxis(J0, -1, 0).reshape(Bp, 1, d, d)
+    hf0 = jnp.moveaxis(h0, -1, 0)[:, None]
+    Jf = jnp.concatenate([Jf0, _unpack(Jf_tail, (d, d))], axis=1)[:B]
+    hf = jnp.concatenate([hf0, _unpack(hf_tail, (d,))], axis=1)[:B]
+
+    from svae_tpu.utils.psd import mvn_logZ_info
+
+    logZ = ln[0, :B] + Ic + mvn_logZ_info(Jf[:, -1], hf[:, -1])
+    return logZ, Jf, hf
+
+
+def lds_backward(pairs, nodes, block_b=128, interpret=False):
+    """Backward information filter (beta messages), differentiable:
+    (Jb (B,T,d,d), hb (B,T,d)) with zero entries at t = T-1."""
+    packed, B, T, d, Bp = _prep_chain(pairs, nodes, block_b)
+    _, backward_prim, _ = _prims(d, interpret)
+    Jb_body, hb_body = backward_prim(
+        packed["P1f"], packed["P2f"], packed["P3f"], packed["N1f"],
+        packed["N2f"])
+    zJ = jnp.zeros((B, 1, d, d), Jb_body.dtype)
+    zh = jnp.zeros((B, 1, d), hb_body.dtype)
+    Jb = jnp.concatenate([_unpack(Jb_body, (d, d))[:B], zJ], axis=1)
+    hb = jnp.concatenate([_unpack(hb_body, (d,))[:B], zh], axis=1)
+    return Jb, hb
+
+
+def _smoother_assembly(pairs, nodes, Jf, hf, Jb, hb):
+    """Node/pair smoothed moments from the two filters -- batched XLA on
+    custom-VJP'd unrolled linalg (same math as kalman._smoother_core)."""
+    from svae_tpu.utils import smallchol
+    from svae_tpu.utils.psd import symmetrize
+
+    P1, P2, P3, _ = pairs
+    N1, N2 = nodes
+    if P1.ndim == 3:
+        P1 = P1[None]
+        P2 = P2[None]
+        P3 = P3[None]
+
+    Js = Jf + Jb
+    hs = hf + hb
+    L = smallchol.chol(symmetrize(Js))
+    Ex = smallchol.cho_solve(L, hs)
+    eye = jnp.broadcast_to(jnp.eye(Js.shape[-1], dtype=Js.dtype), Js.shape)
+    Sig = smallchol.cho_solve_mat(L, eye)
+    ExxT = symmetrize(Sig + Ex[..., :, None] * Ex[..., None, :])
+
+    J12l = -jnp.swapaxes(P2, -1, -2)
+    J11 = -2.0 * P3 + Jf[:, :-1]
+    J22 = -2.0 * (P1 + N1[:, 1:]) + Jb[:, 1:]
+    L11 = smallchol.chol(symmetrize(J11))
+    J11inv_J12 = smallchol.cho_solve_mat(
+        L11, jnp.broadcast_to(J12l, J11.shape))
+    S = J22 - jnp.swapaxes(J12l, -1, -2) @ J11inv_J12
+    LS = smallchol.chol(symmetrize(S))
+    eyeS = jnp.broadcast_to(jnp.eye(S.shape[-1], dtype=S.dtype), S.shape)
+    Sinv = smallchol.cho_solve_mat(LS, eyeS)
+    Cov12 = -J11inv_J12 @ Sinv
+    Exnxt = Cov12 + Ex[:, :-1, :, None] * Ex[:, 1:, None, :]
+    return Ex, ExxT, Exnxt
+
+
+def lds_smoother(init, pairs, nodes, block_b=128, interpret=False,
+                 filtered=None):
+    """Differentiable smoother: (logZ, Ex, ExxT, Exnxt), batch leading.
+    Pass ``filtered=(logZ, Jf, hf)`` to reuse a filter pass."""
+    if filtered is None:
+        filtered = lds_filter(init, pairs, nodes, block_b=block_b,
+                              interpret=interpret)
+    logZ, Jf, hf = filtered
+    Jb, hb = lds_backward(pairs, nodes, block_b=block_b,
+                          interpret=interpret)
+    Ex, ExxT, Exnxt = _smoother_assembly(pairs, nodes, Jf, hf, Jb, hb)
+    return logZ, Ex, ExxT, Exnxt
+
+
+def lds_sample(init, pairs, nodes, key, num_samples, block_b=128,
+               interpret=False, filtered=None, eps=None):
+    """Differentiable posterior sampler: (S, B, T, d) reparameterized
+    draws. ``eps`` overrides the noise (tests)."""
+    P1, P2, P3, Pc = pairs
+    N1, N2 = nodes
+    B, T, d = N2.shape
+    dt = N2.dtype
+    S = int(num_samples)
+
+    if filtered is None:
+        _, Jf, hf = lds_filter(init, pairs, nodes, block_b=block_b,
+                               interpret=interpret)
+    else:
+        Jf, hf = filtered
+
+    if eps is None:
+        eps = jax.random.normal(key, (S, B, T, d), dt)
+    else:
+        eps = jnp.asarray(eps, dt)
+
+    # terminal sample (differentiable XLA glue)
+    from svae_tpu.utils import smallchol
+    from svae_tpu.utils.psd import symmetrize
+
+    LT = smallchol.chol(symmetrize(Jf[:, -1]))
+    muT = smallchol.cho_solve(LT, hf[:, -1])
+    zT = smallchol.solve_upper_from_lower(LT[None], eps[:, :, -1])
+    xT = muT[None] + zT  # (S, B, d)
+
+    # broadcast everything over particles; pack (S*B [+pad]) onto lanes
+    if P2.ndim == 3:
+        P2b = jnp.broadcast_to(P2[None, None], (S, B) + P2.shape)
+        P3b = jnp.broadcast_to(P3[None, None], (S, B) + P3.shape)
+    else:
+        P2b = jnp.broadcast_to(P2[None], (S,) + P2.shape)
+        P3b = jnp.broadcast_to(P3[None], (S,) + P3.shape)
+    Jfb = jnp.broadcast_to(Jf[None, :, :-1], (S, B, T - 1, d, d))
+    hfb = jnp.broadcast_to(hf[None, :, :-1], (S, B, T - 1, d))
+    epsb = eps[:, :, :-1]
+
+    SB = S * B
+    pad = (-SB) % block_b
+    SBp = SB + pad
+    eye = jnp.eye(d, dtype=dt)
+
+    def prep(x, m, fill):
+        x = x.reshape((SB,) + x.shape[2:])
+        x = _pad_batch(x, pad, fill)
+        return _pack(x, m)
+
+    P2f = prep(P2b, d * d, jnp.zeros((), dt))
+    P3f = prep(P3b, d * d, -0.5 * eye)
+    Jft = prep(Jfb, d * d, eye)
+    hft = prep(hfb, d, jnp.zeros((), dt))
+    epsf = prep(epsb, d, jnp.zeros((), dt))
+    xTf = _pack(_pad_batch(xT.reshape(SB, 1, d), pad,
+                           jnp.zeros((), dt)), d)[0]
+
+    _, _, sampler_prim = _prims(d, interpret)
+    xb = sampler_prim(P2f, P3f, Jft, hft, epsf, xTf)
+    x_body = _unpack(xb, (d,))[:SB].reshape(S, B, T - 1, d)
+    return jnp.concatenate([x_body, xT[:, :, None]], axis=2)
+
+
+def lds_estep(init, pairs, nodes, key, num_samples, block_b=128,
+              interpret=False):
+    """Fully differentiable fused E-step on the Pallas kernels: ONE filter
+    pass shared by the smoother assembly and the backward sampler.
+
+    Returns ``(samples (S,B,T,d), (Ex, ExxT, Exnxt), logZ (B,))`` --
+    the batch-level contract of ``kalman.lds_inference`` (vmapped), with
+    forward and backward passes riding the fused kernels."""
+    filt = lds_filter(init, pairs, nodes, block_b=block_b,
+                      interpret=interpret)
+    logZ, Jf, hf = filt
+    _, Ex, ExxT, Exnxt = lds_smoother(init, pairs, nodes, block_b=block_b,
+                                      interpret=interpret, filtered=filt)
+    samples = lds_sample(init, pairs, nodes, key, num_samples,
+                         block_b=block_b, interpret=interpret,
+                         filtered=(Jf, hf))
+    return samples, (Ex, ExxT, Exnxt), logZ

@@ -49,7 +49,11 @@ def make_dp_train_step(run_inference, recognize, loglike, pgm_prior, N,
     GLOBAL batch (leading axis ``global_batch``, sharded over ``data``) and
     a replicated key; ``num_samples`` is the per-shard particle count, so
     the effective MC sample size is ``num_samples * mesh.shape['mc']``.
-    Returns replicated updated params/state and the global ELBO/datapoint.
+    Returns ``(pgm_params, net_params, opt_state, elbo, terms)`` -- the
+    SAME contract as ``train.loop.make_train_step`` (replicated updated
+    params/state, global ELBO/datapoint, and the metrics dict with the
+    three ELBO components + net-grad norm), so the loop/experiment layer
+    and callbacks work unchanged on the DP step.
     """
     opt_init, opt_update = make_optimizer(net_optimizer, pgm_step_size,
                                           net_step_size)
@@ -71,9 +75,18 @@ def make_dp_train_step(run_inference, recognize, loglike, pgm_prior, N,
             )
             ll = loglike(loglike_params, samples, batch)
             obj = (scale * (ll - local_kl) - global_kl / D) / N
-            return obj, jax.lax.stop_gradient(stats)
+            # per-shard metric terms (same normalization as
+            # train.elbo.make_objective: per-datapoint over the GLOBAL
+            # batch; summed across data shards by the psum below)
+            terms = {
+                "loglike": ll / global_batch,
+                "local_kl": local_kl / global_batch,
+                "global_kl": global_kl / (N * D),
+            }
+            return obj, (jax.lax.stop_gradient(stats),
+                         jax.lax.stop_gradient(terms))
 
-        (elbo_local, stats), gnet = jax.value_and_grad(
+        (elbo_local, (stats, terms)), gnet = jax.value_and_grad(
             shard_objective, has_aux=True
         )(net_params)
 
@@ -81,6 +94,7 @@ def make_dp_train_step(run_inference, recognize, loglike, pgm_prior, N,
         elbo = jax.lax.psum(jax.lax.pmean(elbo_local, "mc"), "data")
         gnet = jax.lax.psum(jax.lax.pmean(gnet, "mc"), "data")
         stats = jax.lax.psum(jax.lax.pmean(stats, "mc"), "data")
+        terms = jax.lax.psum(jax.lax.pmean(terms, "mc"), "data")
 
         natgrad = tree_scale(
             tree_sub(
@@ -91,13 +105,17 @@ def make_dp_train_step(run_inference, recognize, loglike, pgm_prior, N,
         )
         new_pgm, new_net, new_opt = opt_update(opt_state, pgm_params,
                                                net_params, natgrad, gnet)
-        return new_pgm, new_net, new_opt, elbo
+        terms = dict(terms)
+        terms["net_grad_norm"] = jnp.sqrt(
+            sum(jnp.sum(g * g) for g in jax.tree.leaves(gnet))
+        )
+        return new_pgm, new_net, new_opt, elbo, terms
 
     sharded = _shard_map(
         step_shard,
         mesh=mesh,
         in_specs=(P(), P(), P(), P("data"), P()),
-        out_specs=(P(), P(), P(), P()),
+        out_specs=(P(), P(), P(), P(), P()),
         check_vma=False,
     )
     donate_argnums = (0, 1, 2) if donate else ()

@@ -18,8 +18,20 @@ def run(train_cfg, train_step, pgm_params, net_params, opt_state, data,
     """Run the training loop per ``TrainConfig``; returns
     ``(pgm_params, net_params, opt_state, history)``.
 
-    Resumes from the latest checkpoint in ``checkpoint_dir`` if present
-    (state = (pgm, net, opt, key, step)); metrics are appended as JSONL.
+    Resumes from the latest checkpoint in ``checkpoint_dir`` if present.
+    Checkpoint state = (pgm, net, opt, key, step) where ``key`` is the PRNG
+    key ADVANCED past the checkpointed step, so a resumed run continues the
+    randomness stream instead of replaying it. Resume granularity is the
+    epoch: completed epochs (step // steps_per_epoch) are skipped, so a
+    checkpoint taken at an epoch boundary (``checkpoint_every`` divisible
+    by steps-per-epoch) resumes with the exact batch/noise sequence of the
+    uninterrupted run (tested: tests/test_train.py preemption-resume).
+    Mid-epoch checkpoints resume from the enclosing epoch's start with the
+    advanced key -- a coherent fresh stream, not a replay.
+
+    Metrics are appended as JSONL every ``metrics_every`` steps; between
+    firings the loop never fences the device (throughput then matches the
+    chained-dispatch benchmark).
     """
     if train_cfg.debug_nans:
         jax.config.update("jax_debug_nans", True)
@@ -37,13 +49,19 @@ def run(train_cfg, train_step, pgm_params, net_params, opt_state, data,
             key = jnp.asarray(key)
             start_step = int(step_arr)
 
+    num_batches = max(data.shape[0] // train_cfg.batch_size, 1)
+    epochs_done = min(start_step // num_batches, train_cfg.num_epochs)
+    start_step = epochs_done * num_batches  # epoch-granular resume
+    epochs_left = train_cfg.num_epochs - epochs_done
+
     writer = MetricsWriter(train_cfg.metrics_path)
     t_last = [time.perf_counter()]
+    every = max(int(train_cfg.metrics_every), 1)
 
     if train_cfg.profile_dir:
         jax.profiler.start_trace(train_cfg.profile_dir)
 
-    def callback(step, elbo, params, terms=None):
+    def callback(step, elbo, params, terms=None, loop_key=None):
         now = time.perf_counter()
         dt = now - t_last[0]
         t_last[0] = now
@@ -51,25 +69,33 @@ def run(train_cfg, train_step, pgm_params, net_params, opt_state, data,
         extra = {}
         if terms is not None:
             extra = {k: float(v) for k, v in terms.items()}
-        writer.write(global_step, elbo=elbo, step_time_s=round(dt, 5),
-                     steps_per_sec=round(1.0 / max(dt, 1e-9), 3), **extra)
+        per_step = dt / every
+        writer.write(global_step, elbo=elbo, step_time_s=round(per_step, 5),
+                     steps_per_sec=round(1.0 / max(per_step, 1e-9), 3),
+                     **extra)
         if (train_cfg.checkpoint_dir
                 and (global_step + 1) % train_cfg.checkpoint_every == 0):
             p, n, s = params
             ckpt_lib.save(
                 os.path.join(train_cfg.checkpoint_dir,
                              f"ckpt_{global_step + 1}.npz"),
-                (p, n, s, key, jnp.asarray(global_step + 1)),
+                (p, n, s, loop_key if loop_key is not None else key,
+                 jnp.asarray(global_step + 1)),
             )
         if extra_callback is not None:
             extra_callback(global_step, elbo, params, terms)
 
+    history = []
+    final_key = key
     try:
-        pgm_params, net_params, opt_state, history = loop_lib.run(
-            train_step, pgm_params, net_params, opt_state, data, key,
-            num_epochs=train_cfg.num_epochs,
-            batch_size=train_cfg.batch_size, callback=callback,
-        )
+        if epochs_left > 0:
+            (pgm_params, net_params, opt_state, history,
+             final_key) = loop_lib.run(
+                train_step, pgm_params, net_params, opt_state, data, key,
+                num_epochs=epochs_left,
+                batch_size=train_cfg.batch_size, callback=callback,
+                callback_every=every,
+            )
     finally:
         if train_cfg.profile_dir:
             jax.profiler.stop_trace()
@@ -80,7 +106,7 @@ def run(train_cfg, train_step, pgm_params, net_params, opt_state, data,
         ckpt_lib.save(
             os.path.join(train_cfg.checkpoint_dir,
                          f"ckpt_{final_step}.npz"),
-            (pgm_params, net_params, opt_state, key,
+            (pgm_params, net_params, opt_state, final_key,
              jnp.asarray(final_step)),
         )
     return pgm_params, net_params, opt_state, history

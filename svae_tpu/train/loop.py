@@ -45,20 +45,29 @@ def make_train_step(run_inference, recognize, loglike, pgm_prior, N,
 
 
 def run(train_step, pgm_params, net_params, opt_state, data, key, num_epochs,
-        batch_size, callback=None, shuffle=True):
+        batch_size, callback=None, callback_every=1, shuffle=True):
     """Host-side epoch loop (reference: svae/optimizers.py:adam loop).
 
     ``data`` is a single array with leading datapoint/sequence axis; batches
     are static-shaped slices (the tail remainder is dropped so every step
     hits the same compiled program). ``callback(step, elbo, (pgm_params,
-    net_params, opt_state), terms)`` runs every step if given (``terms``
-    is the metrics dict from the train step). Returns
-    (pgm_params, net_params, opt_state, elbo_history).
+    net_params, opt_state), terms, key)`` runs every ``callback_every``
+    steps and on the final step if given (``terms`` is the device-side
+    metrics dict from the train step; ``key`` is the PRNG key advanced past
+    the step, so checkpoints can continue the randomness stream on resume).
+
+    The loop never fences the device between callback firings: ``elbo``
+    history is kept as device scalars and fetched once at the end, so with
+    ``callback_every > 1`` steps dispatch back-to-back and the measured
+    throughput matches the chained-dispatch benchmark (bench.py).
+
+    Returns (pgm_params, net_params, opt_state, elbo_history, key).
     """
     N = data.shape[0]
     num_batches = N // batch_size
     history = []
     step_idx = 0
+    total_steps = num_epochs * num_batches
     for epoch in range(num_epochs):
         key, kperm = jax.random.split(key)
         if shuffle:
@@ -71,9 +80,12 @@ def run(train_step, pgm_params, net_params, opt_state, data, key, num_epochs,
             pgm_params, net_params, opt_state, elbo, terms = train_step(
                 pgm_params, net_params, opt_state, batch, kstep
             )
-            history.append(float(elbo))
-            if callback is not None:
-                callback(step_idx, history[-1],
-                         (pgm_params, net_params, opt_state), terms)
+            history.append(elbo)  # device scalar -- no host sync
             step_idx += 1
-    return pgm_params, net_params, opt_state, history
+            if callback is not None and (
+                    step_idx % callback_every == 0
+                    or step_idx == total_steps):
+                callback(step_idx - 1, float(elbo),
+                         (pgm_params, net_params, opt_state), terms, key)
+    history = [float(v) for v in jax.device_get(history)]
+    return pgm_params, net_params, opt_state, history, key

@@ -64,11 +64,12 @@ def test_checkpoint_resume_via_experiment(tmp_path):
     from svae_tpu.train import checkpoint as ckpt_lib
     latest = ckpt_lib.latest(ckdir)
     assert latest is not None and latest.endswith("_4.npz")
-    # resume: runs 2 more epochs starting from the saved state
+    # resume toward a larger TOTAL epoch target: the 2 completed epochs are
+    # skipped and 2 more run from the saved state (epoch-granular resume)
     hist2 = gmm_pinwheel.main([
         "--preset", "gmm_pinwheel_smoke",
         "--train.checkpoint_dir", ckdir,
-        "--train.num_epochs", "2",
+        "--train.num_epochs", "4",
     ])
     assert ckpt_lib.latest(ckdir).endswith("_8.npz")
     _check(hist1)

@@ -46,7 +46,7 @@ def _gmm_run():
         run_inf, recognition.mlp_recognize, decoders.mlp_loglike, prior, N,
         num_samples=2, pgm_step_size=0.5, net_step_size=1e-2, donate=False)
     s = opt_init(params, net)
-    _, _, _, hist = loop_lib.run(step, params, net, s, data,
+    _, _, _, hist, _ = loop_lib.run(step, params, net, s, data,
                                  jax.random.PRNGKey(7), 4, 50,
                                  shuffle=False)
     return hist
@@ -69,7 +69,7 @@ def _lds_run():
         prior, N, num_samples=2, pgm_step_size=0.5, net_step_size=1e-2,
         donate=False)
     s = opt_init(params, net)
-    _, _, _, hist = loop_lib.run(step, params, net, s, data,
+    _, _, _, hist, _ = loop_lib.run(step, params, net, s, data,
                                  jax.random.PRNGKey(7), 4, 8,
                                  shuffle=False)
     return hist

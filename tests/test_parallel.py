@@ -68,7 +68,7 @@ def test_dp_step_matches_manual_reference():
     batch = data[:Bg]
     key = jax.random.PRNGKey(5)
 
-    p_dp, n_dp, s_dp, elbo_dp = dp_step(pgm_params, net_params, opt_state,
+    p_dp, n_dp, s_dp, elbo_dp, terms_dp = dp_step(pgm_params, net_params, opt_state,
                                         batch, key)
 
     # ---- manual single-device reference with identical per-shard keys ----
@@ -139,7 +139,7 @@ def test_dp_training_improves_elbo():
     for i in range(12):
         key, k = jax.random.split(key)
         b = data[(i % 2) * 40:(i % 2) * 40 + 40]
-        p, n, s, e = dp_step(p, n, s, b, k)
+        p, n, s, e, _ = dp_step(p, n, s, b, k)
         hist.append(float(e))
     assert all(np.isfinite(hist))
     assert np.mean(hist[-3:]) > np.mean(hist[:3])

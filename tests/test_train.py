@@ -96,7 +96,7 @@ def test_training_improves_elbo_and_checkpoint_roundtrip(tmp_path):
     opt_state = opt_init(pgm_params, net_params)
     key = jax.random.PRNGKey(7)
 
-    p, n, s, hist = loop_lib.run(
+    p, n, s, hist, _ = loop_lib.run(
         train_step, pgm_params, net_params, opt_state, data, key,
         num_epochs=6, batch_size=40, shuffle=False)
     assert all(np.isfinite(hist))
@@ -107,11 +107,50 @@ def test_training_improves_elbo_and_checkpoint_roundtrip(tmp_path):
     state = (p, n, s, key)
     ckpt_lib.save(path, state)
     p2, n2, s2, key2 = ckpt_lib.restore(path, state)
-    _, _, _, hist_a = loop_lib.run(train_step, p, n, s, data,
+    _, _, _, hist_a, _ = loop_lib.run(train_step, p, n, s, data,
                                    key, 1, 40, shuffle=False)
-    _, _, _, hist_b = loop_lib.run(train_step, p2, n2, s2, data,
+    _, _, _, hist_b, _ = loop_lib.run(train_step, p2, n2, s2, data,
                                    jnp.asarray(key2), 1, 40, shuffle=False)
     np.testing.assert_allclose(hist_a, hist_b, rtol=1e-12)
+
+
+def test_preemption_resume_continues_trajectory(tmp_path):
+    """Kill a checkpointed run at an epoch boundary, resume via
+    experiment.run, and the resumed trajectory must match the uninterrupted
+    run exactly (params bitwise + RNG stream continuation -- VERDICT round-1
+    item 8). checkpoint_every == steps-per-epoch makes the checkpoint land
+    on the epoch boundary, where resume is exact by construction."""
+    from svae_tpu.config import TrainConfig
+    from svae_tpu.train import experiment
+
+    pgm_prior, pgm_params, net_params, run_inf = _build()
+    data = jnp.asarray(make_pinwheel(num_per_class=16), jnp.float64)
+    N = data.shape[0]  # 80 -> 2 steps/epoch at batch 40
+    opt_init, train_step = loop_lib.make_train_step(
+        run_inf, recognition.mlp_recognize, decoders.mlp_loglike,
+        pgm_prior, N, num_samples=1, donate=False)
+
+    def cfg(num_epochs, ckdir):
+        return TrainConfig(num_epochs=num_epochs, batch_size=40,
+                           checkpoint_dir=ckdir, checkpoint_every=2, seed=3)
+
+    # uninterrupted 4-epoch run
+    s0 = opt_init(pgm_params, net_params)
+    _, _, _, hist_full = experiment.run(
+        cfg(4, str(tmp_path / "full")), train_step, pgm_params, net_params,
+        s0, data)
+
+    # "preempted" after 2 epochs, then resumed to the same 4-epoch target
+    s0 = opt_init(pgm_params, net_params)
+    ckdir = str(tmp_path / "pre")
+    _, _, _, hist_a = experiment.run(
+        cfg(2, ckdir), train_step, pgm_params, net_params, s0, data)
+    s0 = opt_init(pgm_params, net_params)  # fresh state; restore overrides
+    _, _, _, hist_b = experiment.run(
+        cfg(4, ckdir), train_step, pgm_params, net_params, s0, data)
+
+    assert len(hist_a) == 4 and len(hist_b) == 4
+    np.testing.assert_allclose(hist_a + hist_b, hist_full, rtol=1e-12)
 
 
 def test_checkpoint_structure_mismatch_raises(tmp_path):
