@@ -192,6 +192,145 @@ def local_meanfield(global_natparam, nn_potentials, num_iters=15,
 
 
 # --------------------------------------------------------------------------
+# batched fused-kernel mean-field (backend="pallas")
+# --------------------------------------------------------------------------
+
+
+def _pair_energies_b(E_pair, x_pair_stats):
+    """Batched ``_pair_energies``: (B, T-1, K)."""
+    E1, E2, E3, const = E_pair
+    ExxT_next, ExnT, ExxT_prev = x_pair_stats  # (B, T-1, d, d)
+    return (
+        jnp.einsum("kij,btij->btk", E1, ExxT_next)
+        + jnp.einsum("kij,btij->btk", E2, ExnT)
+        + jnp.einsum("kij,btij->btk", E3, ExxT_prev)
+        + const
+    )
+
+
+def _averaged_pairs_b(E_pair, r_next):
+    """Batched state-averaged pair potentials -- the per-sequence
+    ("bpairs") layout the fused kernels consume natively. ``r_next`` is
+    (B, T-1, K)."""
+    E1, E2, E3, const = E_pair
+    P1 = jnp.einsum("btk,kij->btij", r_next, E1)
+    P2 = jnp.einsum("btk,kij->btij", r_next, E2)
+    P3 = jnp.einsum("btk,kij->btij", r_next, E3)
+    Pc = r_next @ const
+    return (P1, P2, P3, Pc)
+
+
+def _x_pair_stats_b(Ex, ExxT, Exnxt):
+    return (ExxT[:, 1:], jnp.swapaxes(Exnxt, -1, -2), ExxT[:, :-1])
+
+
+@f32_linalg
+def _batched_meanfield_pallas(global_natparam, nn_potentials, num_iters=15,
+                              num_diff_iters=1, interpret=False):
+    """Structured mean-field for a MINIBATCH on the differentiable fused
+    Pallas kernels (svae_tpu/ops/pallas_vjp.py): the Kalman sweeps run
+    with per-sequence state-averaged pair potentials streamed through the
+    bpairs kernel layout; the HMM sweeps stay vmapped XLA (K is small).
+    Same semantics as ``local_meanfield`` vmapped (parity-tested)."""
+    from svae_tpu.ops import pallas_vjp
+
+    init_dir, trans_dir, niw_np, mniw_np = global_natparam
+    e_pi0 = dirichlet.expectedstats(init_dir)
+    e_Pi = dirichlet.expectedstats(trans_dir)
+    (I1, I2), Ic = niw.expected_gaussian_natparam(niw_np)
+    E_pair = mniw.expected_pair_potential(mniw_np)
+
+    J_diag, h = nn_potentials  # (B, T, d), (B, T, d)
+    B, T = h.shape[0], h.shape[1]
+    K = e_pi0.shape[0]
+    N1 = -0.5 * jnp.vectorize(jnp.diag, signature="(d)->(d,d)")(J_diag)
+    nodes = (N1, h)
+    chain_init = (I1, I2, Ic)
+
+    def x_step(r_next, params):
+        e_pair, ci, nds = params
+        pairs = _averaged_pairs_b(e_pair, r_next)
+        logZ_x, Ex, ExxT, Exnxt = pallas_vjp.lds_smoother(
+            ci, pairs, nds, interpret=interpret)
+        return logZ_x, pairs, (Ex, ExxT, Exnxt)
+
+    def z_step(xps, params):
+        e_pair, epi0, ePi = params
+        L = _pair_energies_b(e_pair, xps)  # (B, T-1, K)
+        log_obs = jnp.concatenate(
+            [jnp.zeros((B, 1, K), L.dtype), L], axis=1)
+        logZ_z, r, pair_marg, r1 = jax.vmap(
+            lambda lo: hmm.hmm_posterior(epi0, ePi, lo))(log_obs)
+        return logZ_z, L, r, pair_marg, r1
+
+    def sweep(r, params):
+        (e_pair, ci, nds, epi0, ePi) = params
+        _, _, (Ex, ExxT, Exnxt) = x_step(r[:, 1:], (e_pair, ci, nds))
+        _, _, r_new, _, _ = z_step(_x_pair_stats_b(Ex, ExxT, Exnxt),
+                                   (e_pair, epi0, ePi))
+        return r_new
+
+    sg = jax.lax.stop_gradient
+    num_diff = min(num_diff_iters, num_iters)
+    warm = num_iters - num_diff
+    r0 = jnp.full((B, T, K), 1.0 / K, h.dtype)
+    params = (E_pair, chain_init, nodes, e_pi0, e_Pi)
+    if warm > 0:
+        params_sg = sg(params)
+        r0, _ = jax.lax.scan(
+            lambda r, _: (sweep(r, params_sg), None), r0, None, length=warm
+        )
+        r0 = sg(r0)
+    r = r0
+    for _ in range(num_diff):
+        r = sweep(r, params)
+
+    logZ_x, pairs_bar, (Ex, ExxT, Exnxt) = x_step(
+        r[:, 1:], (E_pair, chain_init, nodes))
+    xps = _x_pair_stats_b(Ex, ExxT, Exnxt)
+    logZ_z, L, r, trans_pair_stats, r1 = z_step(xps, (E_pair, e_pi0, e_Pi))
+
+    psi_term = jnp.sum(N1 * ExxT) + jnp.sum(h * Ex)
+    Lr_term = jnp.sum(r[:, 1:] * L)
+    local_kl = Lr_term + psi_term - jnp.sum(logZ_z) - jnp.sum(logZ_x)
+
+    hmm_post = (logZ_z, r, trans_pair_stats, r1)
+    lds_post = (logZ_x, (chain_init, pairs_bar, nodes), (Ex, ExxT, Exnxt))
+    return hmm_post, lds_post, local_kl
+
+
+def _batched_inference_pallas(global_natparam, nn_potentials, key,
+                              num_samples, num_iters, num_diff_iters,
+                              interpret=False):
+    from svae_tpu.ops import pallas_vjp
+
+    hmm_post, lds_post, local_kl = _batched_meanfield_pallas(
+        global_natparam, nn_potentials, num_iters, num_diff_iters,
+        interpret=interpret)
+    _, r, trans_pair_stats, r1 = hmm_post
+    _, (ci, pairs_bar, nodes), (Ex, ExxT, Exnxt) = lds_post
+    samples = pallas_vjp.lds_sample(ci, pairs_bar, nodes, key, num_samples,
+                                    interpret=interpret)
+
+    one = jnp.ones((), Ex.dtype)
+    r_next = r[:, 1:]  # (B, T-1, K)
+    ExnT = jnp.swapaxes(Exnxt, -1, -2)
+    stats = (
+        jnp.sum(r1, axis=0),
+        jnp.sum(trans_pair_stats, axis=0),
+        (jnp.sum(ExxT[:, 0], axis=0), jnp.sum(Ex[:, 0], axis=0),
+         Ex.shape[0] * one, Ex.shape[0] * one),
+        (
+            jnp.einsum("btk,btij->kij", r_next, ExxT[:, 1:]),
+            jnp.einsum("btk,btij->kij", r_next, ExnT),
+            jnp.einsum("btk,btij->kij", r_next, ExxT[:, :-1]),
+            jnp.sum(r_next, axis=(0, 1)),
+        ),
+    )
+    return samples, stats, local_kl
+
+
+# --------------------------------------------------------------------------
 # stats / KL / contract
 # --------------------------------------------------------------------------
 
@@ -276,17 +415,31 @@ def sample_states(global_natparam, nn_potentials, key, num_samples=(),
 
 def run_inference(prior_natparam, global_natparam, nn_potentials, key,
                   num_samples=1, num_meanfield_iters=15, num_diff_iters=1,
-                  parallel=False):
+                  parallel=False, backend="xla", interpret=False):
     """E-step + sampling + KLs (reference: svae/models/slds.py:run_inference).
 
     ``nn_potentials`` = (J_diag, h), each (T, d) or (B, T, d). Returns
     (samples, stats, global_kl, local_kl); samples are continuous latents
     x ~ q(x), shaped (S, T, d) or (S, B, T, d) -- sample axes lead, per the
     decoder loglike contract (svae_tpu/nets/decoders.py).
+
+    ``backend="pallas"`` runs the Kalman sweeps of the structured
+    mean-field on the fused differentiable Pallas kernels with
+    per-sequence state-averaged pair potentials (the bpairs layout);
+    "xla" vmaps the per-sequence scan path. Drop-in equivalent
+    (parity-tested, tests/test_slds.py).
     """
     J_diag, h = nn_potentials
     batched = J_diag.ndim == 3
-    if batched:
+    if backend == "pallas":
+        if not batched:
+            J_diag, h = J_diag[None], h[None]
+        samples, stats, local_kl = _batched_inference_pallas(
+            global_natparam, (J_diag, h), key, num_samples,
+            num_meanfield_iters, num_diff_iters, interpret=interpret)
+        if not batched:
+            samples = samples[:, 0]
+    elif batched:
         B = J_diag.shape[0]
         keys = jax.random.split(key, B)
         samples, stats, lkls = jax.vmap(

@@ -137,3 +137,35 @@ def test_sample_states_shapes_and_validity():
     z2 = slds.sample_states(glob, pots, jax.random.PRNGKey(0),
                             num_samples=(5,), num_meanfield_iters=5)
     np.testing.assert_array_equal(zn, np.asarray(z2))
+
+
+def test_pallas_backend_matches_xla_backend():
+    """backend="pallas" (fused-kernel structured mean-field, bpairs
+    layout) must reproduce the vmapped XLA path: stats, local KL, and
+    gradients of the KL channel (interpret mode)."""
+    glob, (J1, h1) = _setup(K=3, d=2, T=7, seed=2)
+    _, (J2, h2) = _setup(K=3, d=2, T=7, seed=5)
+    pots = (jnp.stack([J1, J2]), jnp.stack([h1, h2]))
+
+    def objective(g_pots, backend):
+        g, p = g_pots
+        s, st, gkl, lkl = slds.run_inference(
+            glob, g, p, KEY, num_samples=2, num_meanfield_iters=4,
+            num_diff_iters=1, backend=backend, interpret=True)
+        return lkl + 0.1 * gkl, (s, st)
+
+    (v_p, (s_p, st_p)), g_p = jax.value_and_grad(
+        lambda gp: objective(gp, "pallas"), has_aux=True)((glob, pots))
+    (v_x, (s_x, st_x)), g_x = jax.value_and_grad(
+        lambda gp: objective(gp, "xla"), has_aux=True)((glob, pots))
+
+    np.testing.assert_allclose(float(v_p), float(v_x), rtol=1e-8)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-9),
+        st_p, st_x)
+    assert s_p.shape == s_x.shape == (2, 2, 7, 2)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-8),
+        g_p, g_x)
