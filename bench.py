@@ -1,10 +1,13 @@
 """Headline benchmark (driver-run on the real chip).
 
 Measures LDS-SVAE SVI throughput (BASELINE config 2: bouncing-dot
-sequences, T=100) as end-to-end training-step sequences/sec on one chip --
-recognition MLP + Kalman E-step (sequential-scan smoother + 2-particle
-sampler) + decoder ELBO + natural-gradient/adam update, all inside one
-jitted step; the fused Pallas E-step is reported alongside.
+sequences, T=100) as end-to-end training-step sequences/sec on one chip
+with the PRODUCTION backend -- the differentiable fused Pallas kernels
+(svae_tpu/ops/pallas_vjp.py; forward AND hand-derived adjoint recursions
+on-chip) -- recognition MLP + Kalman E-step + decoder ELBO +
+natural-gradient/adam update, all inside one jitted step. The XLA-scan
+backend and the E-step alone are reported alongside, plus SLDS and HMM
+inference lines and a speed-of-light accounting of the kernel time.
 
 ``vs_baseline`` divides by the strongest CPU E-step available on the host
 (native C++ twin of the reference's Cython kernels, else the NumPy f64
@@ -13,7 +16,7 @@ oracle) -- the stand-in for the reference while its mount is empty
 would-be net/decoder cost, conservative in its favor).
 
 Prints exactly one JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 """
 
 import json
@@ -22,8 +25,8 @@ import time
 
 import numpy as np
 
-# Persistent compilation cache: the unrolled-linalg scan programs compile
-# for minutes on this 1-core host; cache hits make repeat runs instant.
+# Persistent compilation cache: the unrolled-linalg programs compile for
+# minutes on this 1-core host; cache hits make repeat runs instant.
 os.makedirs(os.path.join(os.path.dirname(__file__), ".jax_cache"),
             exist_ok=True)
 import jax
@@ -31,7 +34,6 @@ import jax
 jax.config.update("jax_compilation_cache_dir",
                   os.path.join(os.path.dirname(__file__), ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-
 
 
 def _lump_time(run_iters, iters):
@@ -50,8 +52,10 @@ def _lump_time(run_iters, iters):
     return max(dts)
 
 
-def measure_tpu_steps(B=64, T=100, d_obs=20, d_latent=10, num_samples=2,
-                      iters=20):
+def measure_tpu_steps(backend, B=64, T=100, d_obs=20, d_latent=10,
+                      num_samples=2, iters=20):
+    """Full SVI train step seqs/sec on the given E-step backend."""
+    from functools import partial
     import jax
     import jax.numpy as jnp
     from svae_tpu.data import make_dot_data
@@ -70,7 +74,8 @@ def measure_tpu_steps(B=64, T=100, d_obs=20, d_latent=10, num_samples=2,
         decoders.init_mlp_decode(k4, d_latent, (64,), d_obs),
     )
     opt_init, train_step = loop_lib.make_train_step(
-        lds.run_inference, recognition.mlp_recognize, decoders.mlp_loglike,
+        partial(lds.run_inference, backend=backend),
+        recognition.mlp_recognize, decoders.mlp_loglike,
         pgm_prior, N, num_samples=num_samples, donate=False,
     )
     opt_state = opt_init(pgm_params, net_params)
@@ -136,10 +141,11 @@ def measure_cpu_oracle(T=100, d_latent=10, reps=8):
     return best
 
 
-def measure_tpu_estep(B=64, T=100, d_obs=20, d_latent=10, num_samples=2,
+def measure_tpu_estep(backend, B=64, T=100, d_latent=10, num_samples=2,
                       iters=20):
     """E-step only (smoother + sampler through the model contract), the
     apples-to-apples twin of measure_cpu_oracle."""
+    from functools import partial
     import jax
     import jax.numpy as jnp
     from svae_tpu.models import lds
@@ -150,7 +156,8 @@ def measure_tpu_estep(B=64, T=100, d_obs=20, d_latent=10, num_samples=2,
     J = jax.nn.softplus(jax.random.normal(k1, (B, T, d_latent))) + 0.5
     h = jax.random.normal(k2, (B, T, d_latent))
     f = jax.jit(lambda pots, k: lds.run_inference(glob, glob, pots, k,
-                                                  num_samples))
+                                                  num_samples,
+                                                  backend=backend))
     out = f((J, h), jax.random.PRNGKey(1))
     jax.block_until_ready(out)
 
@@ -164,66 +171,181 @@ def measure_tpu_estep(B=64, T=100, d_obs=20, d_latent=10, num_samples=2,
     return B / dt
 
 
-def measure_tpu_pallas_estep(B=64, T=100, d_latent=10, num_samples=2,
-                             iters=50):
-    """The fused Pallas E-step (filter + smoother + sampler sharing one
-    filter pass) -- the apples-to-apples twin of measure_tpu_estep on the
-    Pallas kernels (forward-only path)."""
+def measure_slds(B=16, T=50, K=4, d_latent=3, num_iters=10, iters=10):
+    """SLDS structured-mean-field E-step (backend='pallas') seqs/sec on
+    chip, and the CPU twin: per sequence, num_iters alternating sweeps of
+    (native C++ LDS smoother + native HMM forward-backward) -- the
+    reference's Cython-served inner loop (SURVEY.md section 3.3)."""
     import jax
     import jax.numpy as jnp
-    from svae_tpu.models import lds
-    from svae_tpu.ops.pallas_kalman import lds_estep_pallas
+    from svae_tpu.models import slds
+    from svae_tpu.ops import native, oracles
 
     key = jax.random.PRNGKey(0)
-    glob = lds.init_pgm_param(key, d_latent)
-    init, pairs = lds.expected_chain_potentials(glob, T)
+    glob = slds.init_pgm_param(key, K, d_latent)
     k1, k2 = jax.random.split(key)
-    Jd = jax.nn.softplus(jax.random.normal(k1, (B, T, d_latent))) + 0.5
+    J = jax.nn.softplus(jax.random.normal(k1, (B, T, d_latent))) + 0.5
     h = jax.random.normal(k2, (B, T, d_latent))
-    N1 = -0.5 * jax.vmap(jax.vmap(jnp.diag))(Jd)
-    f = jax.jit(lambda N1, h, k: lds_estep_pallas(init, pairs, (N1, h), k,
-                                                  num_samples))
-    out = f(N1, h, jax.random.PRNGKey(1))
+
+    f = jax.jit(lambda pots, k: slds.run_inference(
+        glob, glob, pots, k, num_samples=2, num_meanfield_iters=num_iters,
+        backend="pallas"))
+    out = f((J, h), jax.random.PRNGKey(1))
     jax.block_until_ready(out)
 
     def run_iters(k):
         for i in range(k):
-            out = f(N1, h, jax.random.PRNGKey(2 + i))
+            out = f((J, h), jax.random.PRNGKey(2 + i))
         return out
 
     dt = _lump_time(run_iters, iters)
-    assert bool(np.isfinite(float(out[2][0]))), "non-finite pallas logZ"
-    return B / dt
+    assert bool(np.isfinite(float(out[3])))
+    tpu_seqs = B / dt
+
+    # CPU twin: one sequence, num_iters sweeps of smoother + HMM fwd-bwd
+    rng = np.random.RandomState(0)
+    d = d_latent
+    A = 0.9 * np.linalg.qr(rng.randn(d, d))[0]
+    Qi = np.linalg.inv(0.1 * np.eye(d))
+    init = (-0.5 * np.eye(d), np.zeros(d), 0.0)
+    pairs = (np.tile(-0.5 * Qi, (T - 1, 1, 1)),
+             np.tile(Qi @ A, (T - 1, 1, 1)),
+             np.tile(-0.5 * A.T @ Qi @ A, (T - 1, 1, 1)), np.zeros(T - 1))
+    nodes = (np.tile(-0.5 * np.eye(d), (T, 1, 1)), rng.randn(T, d))
+    log_init = np.full(K, -np.log(K))
+    log_trans = np.log(np.full((K, K), 1.0 / K))
+    log_obs = rng.randn(T, K)
+    smoother = (native.lds_smoother_seq if native.available()
+                else oracles.lds_smoother_seq)
+    hmm_marg = (native.hmm_marginals_seq if native.available()
+                else oracles.hmm_marginals_seq)
+    smoother(init, pairs, nodes)  # warmup
+    reps = 5
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        for _ in range(num_iters):
+            smoother(init, pairs, nodes)
+            hmm_marg(log_init, log_trans, log_obs)
+    cpu_seqs = 1.0 / ((time.perf_counter() - t0) / reps)
+    return tpu_seqs, cpu_seqs, dt
+
+
+def measure_hmm(B=128, T=100, K=8, iters=20):
+    """HMM posterior (logZ + node/pair marginals) seqs/sec: TPU batched
+    custom-VJP log-matmul path vs the native C++ sequential twin."""
+    import jax
+    import jax.numpy as jnp
+    from svae_tpu.ops import hmm, native, oracles
+
+    key = jax.random.PRNGKey(0)
+    log_obs = jax.random.normal(key, (B, T, K))
+    pi0 = jnp.full((K,), 1.0 / K)
+    Pi = jnp.full((K, K), 1.0 / K)
+    f = jax.jit(jax.vmap(lambda lo: hmm.hmm_posterior(pi0, Pi, lo)))
+    out = f(log_obs)
+    jax.block_until_ready(out)
+
+    def run_iters(k):
+        for _ in range(k):
+            out = f(log_obs)
+        return out
+
+    dt = _lump_time(run_iters, iters)
+    tpu_seqs = B / dt
+
+    lo = np.asarray(log_obs[0], np.float64)
+    log_init = np.full(K, -np.log(K))
+    log_trans = np.log(np.full((K, K), 1.0 / K))
+    marg = (native.hmm_marginals_seq if native.available()
+            else oracles.hmm_marginals_seq)
+    marg(log_init, log_trans, lo)
+    reps = 50
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        marg(log_init, log_trans, lo)
+    cpu_seqs = 1.0 / ((time.perf_counter() - t0) / reps)
+    return tpu_seqs, cpu_seqs
+
+
+def speed_of_light(step_dt, B=64, T=100, d=10, S=2, block_b=128):
+    """Achieved FLOP/s and HBM GB/s of the Pallas train step vs v5e
+    ceilings, from an op/byte count of the six kernel passes (docs/
+    DESIGN.md 'speed of light' note).
+
+    MAC counts per (time step, lane), derived from the kernel bodies
+    (ops/pallas_vjp.py): each forward pass does one unrolled Cholesky
+    (d^3/6), ~2 triangular matrix solves (d^3), one d x d matmul (d^3) and
+    O(d^2) vector work; each adjoint adds an explicit inverse (d^3) and
+    ~3 extra matmuls. VPU f32 peak ~= 8 sublanes x 128 lanes x 2 FLOP x
+    0.94 GHz ~= 1.9 TFLOP/s (these kernels never touch the MXU); HBM peak
+    ~= 800 GB/s."""
+    d3, d2 = d ** 3, d ** 2
+    Bp = ((B + block_b - 1) // block_b) * block_b
+    SBp = ((S * B + block_b - 1) // block_b) * block_b
+    mac_fwd = d3 / 6 + 2 * d3 + 5 * d2        # filter / backward forward
+    mac_sam = d3 / 6 + d3 + 4 * d2            # sampler forward
+    mac_adj = d3 / 6 + d3 + 4 * d3 + 8 * d2   # adjoints (inverse + matmuls)
+    mac_sam_adj = mac_adj + 2 * d3            # + Cholesky-VJP solves
+    T1 = T - 1
+    macs = T1 * (Bp * (2 * mac_fwd + 2 * mac_adj)
+                 + SBp * (mac_sam + mac_sam_adj))
+    flops = 2 * macs
+    # bytes: every kernel streams its per-step blocks from/to HBM once
+    f32 = 4
+    row_io = (  # dd-blocks + d-blocks read/written per time step, all six
+        Bp * (6 + 2 + 4 + 2) * (d2 + d)       # filter fwd+adj (approx)
+        + Bp * (5 + 2 + 8 + 4) * (d2 + d) // 2
+        + SBp * (5 + 1 + 7 + 4) * (d2 + d) // 2
+    )
+    bytes_moved = T1 * row_io * f32
+    vpu_peak = 1.9e12
+    hbm_peak = 800e9
+    return {
+        "pallas_step_gflops": round(flops / step_dt / 1e9, 1),
+        "vpu_peak_frac": round(flops / step_dt / vpu_peak, 4),
+        "hbm_gbps": round(bytes_moved / step_dt / 1e9, 1),
+        "hbm_peak_frac": round(bytes_moved / step_dt / hbm_peak, 4),
+    }
 
 
 def main():
-    estep_seqs_per_sec = measure_tpu_estep()
+    result = {}
+    train_seqs, step_dt = measure_tpu_steps("pallas")
+    estep_seqs = measure_tpu_estep("pallas")
+    cpu_seqs = measure_cpu_oracle()
+    result = {
+        # the BASELINE.json metric pair: E-step seqs/sec (chip, production
+        # fused-Pallas backend, vs the strongest CPU E-step implementation
+        # -- the native C++ twin of the reference's Cython kernels), plus
+        # the full SVI train-step throughput.
+        "metric": "lds_svae_T100_estep_seqs_per_sec_per_chip",
+        "value": round(estep_seqs, 2),
+        "unit": "seqs/sec",
+        "vs_baseline": round(estep_seqs / cpu_seqs, 2),
+        "train_step_seqs_per_sec": round(train_seqs, 2),
+        "train_step_ms": round(step_dt * 1e3, 3),
+        "cpu_estep_seqs_per_sec": round(cpu_seqs, 2),
+    }
     try:
-        pallas_seqs_per_sec = measure_tpu_pallas_estep()
-    except Exception:  # CPU-only host or pallas lowering unavailable
-        pallas_seqs_per_sec = None
-    train_seqs_per_sec, step_dt = measure_tpu_steps()
-    cpu_seqs_per_sec = measure_cpu_oracle()
-    print(
-        json.dumps(
-            {
-                # the BASELINE.json metric pair: E-step seqs/sec (chip vs
-                # the strongest CPU E-step implementation -- the native C++
-                # twin of the reference's Cython kernels), plus the full
-                # SVI train-step throughput for context.
-                "metric": "lds_svae_T100_estep_seqs_per_sec_per_chip",
-                "value": round(estep_seqs_per_sec, 2),
-                "unit": "seqs/sec",
-                "vs_baseline": round(
-                    estep_seqs_per_sec / cpu_seqs_per_sec, 2),
-                "train_step_seqs_per_sec": round(train_seqs_per_sec, 2),
-                "cpu_estep_seqs_per_sec": round(cpu_seqs_per_sec, 2),
-                "pallas_estep_seqs_per_sec": (
-                    round(pallas_seqs_per_sec, 2)
-                    if pallas_seqs_per_sec else None),
-            }
-        )
-    )
+        xla_train, _ = measure_tpu_steps("xla")
+        result["train_step_xla_seqs_per_sec"] = round(xla_train, 2)
+    except Exception:
+        result["train_step_xla_seqs_per_sec"] = None
+    try:
+        slds_tpu, slds_cpu, slds_dt = measure_slds()
+        result["slds_estep_seqs_per_sec"] = round(slds_tpu, 2)
+        result["slds_vs_cpu"] = round(slds_tpu / slds_cpu, 2)
+        result["slds_step_ms"] = round(slds_dt * 1e3, 2)
+    except Exception:
+        result["slds_estep_seqs_per_sec"] = None
+    try:
+        hmm_tpu, hmm_cpu = measure_hmm()
+        result["hmm_posterior_seqs_per_sec"] = round(hmm_tpu, 2)
+        result["hmm_vs_cpu"] = round(hmm_tpu / hmm_cpu, 2)
+    except Exception:
+        result["hmm_posterior_seqs_per_sec"] = None
+    result.update(speed_of_light(step_dt))
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
