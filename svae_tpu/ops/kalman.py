@@ -161,12 +161,92 @@ def build_leaves(init, pairs, nodes):
 # --------------------------------------------------------------------------
 # logZ / filter / smoother
 # --------------------------------------------------------------------------
+#
+# Scan flavors (the ``parallel`` argument everywhere):
+#   False  -> lax.scan, O(T) sequential depth (default; fastest compile)
+#   True   -> lax.associative_scan, O(log T) span (compiles pathologically
+#             on this XLA:TPU toolchain -- header note)
+#   int C  -> BLOCKED TWO-PASS scan: split the T-1 leaves into C chunks,
+#             combine within chunks as ONE lax.scan vectorized over the
+#             chunk axis (depth T/C), reduce the C chunk elements with a
+#             tiny sequential scan (depth C), then seed every chunk with
+#             its global prefix in one batched combine. Sequential depth
+#             T/C + C with plain-scan compile cost -- the practical
+#             parallel-in-time flavor (temporal parallelization per
+#             arXiv:1905.13002 without the associative_scan tree). C is
+#             snapped down to a divisor of T-1.
+
+
+def _snap_chunks(T1, C):
+    C = max(1, min(int(C), T1))
+    while T1 % C:
+        C -= 1
+    return C
+
+
+def _chunked_scan(leaves, C, reverse=False, op2=None):
+    """Two-pass prefix (or suffix, ``reverse``) scan of an associative
+    algebra (``op2(earlier, later)``; default: the Gaussian chain-element
+    ``combine``) over leading-axis-stacked elements.
+
+    Returns ``(total, scans)`` with the full inclusive prefix/suffix
+    pytree, shape-compatible with the sequential flavor's output."""
+    op2 = combine if op2 is None else op2
+    T1 = jax.tree.leaves(leaves)[0].shape[0]
+    C = _snap_chunks(T1, C)
+    L = T1 // C
+    # A suffix scan is the prefix scan of the time-flipped leaves with the
+    # operands flipped inside the operator (op2(earlier, later) keeps its
+    # temporal meaning); flip the result back at the end.
+    op = (lambda a, b: op2(b, a)) if reverse else op2
+    if reverse:
+        leaves = jax.tree.map(lambda a: jnp.flip(a, axis=0), leaves)
+
+    lc = jax.tree.map(lambda a: a.reshape((C, L) + a.shape[1:]), leaves)
+    e0 = jax.tree.map(lambda a: a[:, 0], lc)
+    rest = jax.tree.map(lambda a: jnp.moveaxis(a[:, 1:], 1, 0), lc)
+
+    def step(carry, leaf):
+        out = op(carry, leaf)
+        return out, out
+
+    eC, tail = jax.lax.scan(step, e0, rest)  # eC: chunk totals (C, ...)
+    local = jax.tree.map(
+        lambda f0, r: jnp.concatenate([f0[:, None], jnp.moveaxis(r, 0, 1)],
+                                      axis=1), e0, tail)  # (C, L, ...)
+
+    # chunk-level inclusive reduction (tiny sequential scan over C)
+    ec0 = jax.tree.map(lambda a: a[0], eC)
+    ecrest = jax.tree.map(lambda a: a[1:], eC)
+    total, ptail = jax.lax.scan(step, ec0, ecrest)
+    Pincl = jax.tree.map(
+        lambda f0, r: jnp.concatenate([f0[None], r], axis=0), ec0, ptail)
+
+    # seed chunks 1.. with the previous chunks' running element (ONE
+    # batched combine over (C-1) x L leaves -- no sequential dependency)
+    first = jax.tree.map(lambda a: a[0], local)
+    if C > 1:
+        Pprev = jax.tree.map(lambda a: jnp.broadcast_to(
+            a[:-1, None], (C - 1, L) + a.shape[1:]), Pincl)
+        restloc = jax.tree.map(lambda a: a[1:], local)
+        seeded = op(Pprev, restloc)
+        out = jax.tree.map(
+            lambda f, s: jnp.concatenate([f[None], s], axis=0), first,
+            seeded)
+    else:
+        out = jax.tree.map(lambda a: a[None], first)
+    out = jax.tree.map(lambda a: a.reshape((T1,) + a.shape[2:]), out)
+    if reverse:
+        out = jax.tree.map(lambda a: jnp.flip(a, axis=0), out)
+    return total, out
 
 
 def _total_element(leaves, parallel):
-    if parallel:
+    if parallel is True:
         prefix = jax.lax.associative_scan(combine, leaves, axis=0)
         return jax.tree.map(lambda a: a[-1], prefix), prefix
+    elif parallel:  # int chunk count -> blocked two-pass scan
+        return _chunked_scan(leaves, parallel)
     else:
         e0 = jax.tree.map(lambda a: a[0], leaves)
         rest = jax.tree.map(lambda a: a[1:], leaves)
@@ -237,12 +317,14 @@ def _smoother_core(init, pairs, nodes, parallel=False):
     leaves = build_leaves(init, pairs, nodes)
     total, prefix = _total_element(leaves, parallel)
 
-    if parallel:
+    if parallel is True:
         # reverse=True applies the operator as fn(later, earlier); flip the
         # operands so suffix[t] = leaf_t (+) leaf_{t+1} (+) ... temporally.
         suffix = jax.lax.associative_scan(
             lambda a, b: combine(b, a), leaves, axis=0, reverse=True
         )
+    elif parallel:
+        _, suffix = _chunked_scan(leaves, parallel, reverse=True)
     else:
         eT = jax.tree.map(lambda a: a[-1], leaves)
         rest = jax.tree.map(lambda a: a[:-1], leaves)
@@ -379,13 +461,23 @@ def lds_sample(init, pairs, nodes, key, num_samples, parallel=False,
 
     Fb = jnp.broadcast_to(F, g.shape[:-1] + (d, d))
     time_axis = g.ndim - 2  # same positive index for both leaves
-    if parallel:
+    if parallel is True:
         # suffix scan (reverse): res[t] maps x_T -> x_t. reverse=True calls
         # the operator as fn(later, earlier); we need earlier as the outer
         # map, so flip the operands.
         Fcum, gcum = jax.lax.associative_scan(
             lambda a, b: affine_combine(b, a), (Fb, g), axis=time_axis, reverse=True
         )
+        xs = (Fcum @ xT[..., None, :, None])[..., 0] + gcum
+    elif parallel:
+        # blocked two-pass suffix composition of the affine maps
+        # (affine_combine(earlier, later): earlier is the outer map)
+        FbT = jnp.moveaxis(Fb, time_axis, 0)
+        gT = jnp.moveaxis(g, time_axis, 0)
+        _, (FcumT, gcumT) = _chunked_scan((FbT, gT), parallel,
+                                          reverse=True, op2=affine_combine)
+        Fcum = jnp.moveaxis(FcumT, 0, time_axis)
+        gcum = jnp.moveaxis(gcumT, 0, time_axis)
         xs = (Fcum @ xT[..., None, :, None])[..., 0] + gcum
     else:
         def step(carry, Fg):

@@ -15,9 +15,21 @@ def to_jnp(tree):
     return jax.tree.map(jnp.asarray, tree)
 
 
-@pytest.fixture(params=[True, False], ids=["parallel", "sequential"])
+@pytest.fixture(params=[True, False, 4, 3],
+                ids=["parallel", "sequential", "chunked4", "chunked3"])
 def parallel(request):
+    """Scan flavors: associative scan, sequential scan, and the blocked
+    two-pass chunked scan (ints = requested chunk count; snapped down to a
+    divisor of T-1, so odd T-1 also exercises the snapping path)."""
     return request.param
+
+
+def test_chunk_snapping():
+    assert kalman._snap_chunks(12, 4) == 4
+    assert kalman._snap_chunks(12, 5) == 4
+    assert kalman._snap_chunks(13, 4) == 1   # prime: falls back to 1 chunk
+    assert kalman._snap_chunks(8, 100) == 8  # capped at T-1
+    assert kalman._snap_chunks(8, 0) == 1
 
 
 class TestLogZ:
