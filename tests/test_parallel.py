@@ -154,3 +154,44 @@ def test_param_fingerprint_consistency_check():
     fp2 = multihost.param_fingerprint(
         jax.tree.map(lambda a: a + 1e-3, pgm_params))
     assert float(jnp.max(jnp.abs(fp1 - fp2))) > 0
+
+
+class TestInitializeFailureModel:
+    """multihost.initialize wraps jax.distributed.initialize with the
+    failure model of SURVEY.md section 5: bounded barrier wait surfaced as
+    an actionable error, idempotent re-init, timeout plumbed through. The
+    real coordination service needs a pod, so these monkeypatch the jax
+    entry point."""
+
+    def test_reinit_returns_false(self, monkeypatch):
+        def boom(**kw):
+            raise RuntimeError(
+                "distributed.initialize should only be called once.")
+        monkeypatch.setattr(jax.distributed, "initialize", boom)
+        assert multihost.initialize() is False
+
+    def test_barrier_timeout_surfaced(self, monkeypatch):
+        def boom(**kw):
+            raise RuntimeError(
+                "DEADLINE_EXCEEDED: barrier wait timed out")
+        monkeypatch.setattr(jax.distributed, "initialize", boom)
+        with pytest.raises(RuntimeError, match="resume\\s+from the latest "
+                           "checkpoint"):
+            multihost.initialize(num_processes=4, timeout_secs=7)
+
+    def test_other_errors_reraised(self, monkeypatch):
+        def boom(**kw):
+            raise RuntimeError("must be called before any JAX calls")
+        monkeypatch.setattr(jax.distributed, "initialize", boom)
+        with pytest.raises(RuntimeError, match="before any JAX calls"):
+            multihost.initialize()
+
+    def test_timeout_plumbed_and_success(self, monkeypatch):
+        seen = {}
+        monkeypatch.setattr(jax.distributed, "initialize",
+                            lambda **kw: seen.update(kw))
+        assert multihost.initialize(coordinator_address="h:1",
+                                    num_processes=2, process_id=1,
+                                    timeout_secs=11) is True
+        assert seen["initialization_timeout"] == 11
+        assert seen["num_processes"] == 2
