@@ -61,8 +61,11 @@ def main(argv=None):
         decoders.init_mlp_decode(k4, cfg.d_latent, cfg.hidden_dec, d_obs),
     )
 
+    from functools import partial
+    run_inf = partial(lds.run_inference, backend=cfg.backend,
+                      parallel=cfg.scan_chunks or False)
     opt_init, train_step = loop_lib.make_train_step(
-        lds.run_inference, recognition.make_conv_recognize(cfg.frame_hw),
+        run_inf, recognition.make_conv_recognize(cfg.frame_hw),
         decoders.mlp_loglike,
         pgm_prior, N, num_samples=tc.num_samples,
         natgrad_scale=tc.natgrad_scale, pgm_step_size=tc.pgm_step_size,

@@ -6,6 +6,7 @@ reference: experiments/lds_svae_synth.py).
 
 import sys
 import os
+from functools import partial
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -45,8 +46,10 @@ def main(argv=None):
 
     pgm_prior, pgm_params, net_params = build(cfg, key)
 
+    run_inf = partial(lds.run_inference, backend=cfg.backend,
+                      parallel=cfg.scan_chunks or False)
     opt_init, train_step = loop_lib.make_train_step(
-        lds.run_inference, recognition.mlp_recognize, decoders.mlp_loglike,
+        run_inf, recognition.mlp_recognize, decoders.mlp_loglike,
         pgm_prior, N, num_samples=tc.num_samples,
         natgrad_scale=tc.natgrad_scale, pgm_step_size=tc.pgm_step_size,
         net_step_size=tc.net_step_size, donate=False)

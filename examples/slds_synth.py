@@ -66,7 +66,7 @@ def main(argv=None):
     def run_inf(prior, glob, pots, key, S):
         return slds.run_inference(
             prior, glob, pots, key, S,
-            num_meanfield_iters=cfg.meanfield_iters)
+            num_meanfield_iters=cfg.meanfield_iters, backend=cfg.backend)
 
     opt_init, train_step = loop_lib.make_train_step(
         run_inf, recognition.mlp_recognize, decoders.mlp_loglike,

@@ -51,6 +51,11 @@ class LDSConfig:
     image_width: int = 20
     num_seqs: int = 512
     hidden: Tuple[int, ...] = (64,)
+    # inference backend: "auto" = fused Pallas kernels on TPU, XLA scan
+    # elsewhere; scan_chunks > 0 selects the blocked parallel-in-time scan
+    # for the XLA backend (ops/kalman.py scan flavors)
+    backend: str = "auto"
+    scan_chunks: int = 0
     train: TrainConfig = field(default_factory=lambda: TrainConfig(
         batch_size=32))
 
@@ -65,6 +70,7 @@ class SLDSConfig:
     num_seqs: int = 256
     hidden: Tuple[int, ...] = (64,)
     meanfield_iters: int = 12
+    backend: str = "auto"  # see LDSConfig.backend
     train: TrainConfig = field(default_factory=lambda: TrainConfig(
         batch_size=16))
 
@@ -79,6 +85,8 @@ class ConvLDSConfig:
     kernel_size: int = 3
     num_seqs: int = 128
     hidden_dec: Tuple[int, ...] = (128,)
+    backend: str = "auto"   # see LDSConfig.backend
+    scan_chunks: int = 64   # long-T: parallel-in-time XLA scan flavor
     train: TrainConfig = field(default_factory=lambda: TrainConfig(
         batch_size=8))
 

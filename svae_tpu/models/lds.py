@@ -200,10 +200,15 @@ def run_inference(prior_natparam, global_natparam, nn_potentials, key,
     "pallas" runs the fused differentiable Pallas kernels with hand-derived
     adjoints (svae_tpu/ops/pallas_vjp.py; the production TPU training path,
     the analogue of the reference's Cython fast path --
-    svae/lds/cython_lds_inference.pyx). Both are drop-in equivalent
-    (parity-tested, tests/test_pallas_vjp.py, tests/test_lds_model.py);
-    ``interpret`` runs Pallas in interpreter mode (CPU testing).
+    svae/lds/cython_lds_inference.pyx). "auto" resolves to "pallas" on TPU
+    and "xla" elsewhere (the fast path as an import-time drop-in, like the
+    reference's Cython). Both are drop-in equivalent (parity-tested,
+    tests/test_pallas_vjp.py, tests/test_lds_model.py; on-chip gate
+    benchmarks/onchip_parity.py); ``interpret`` runs Pallas in interpreter
+    mode (CPU testing).
     """
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     J_diag, h = nn_potentials
     batched = J_diag.ndim == 3
     T = J_diag.shape[-2]

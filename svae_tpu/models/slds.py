@@ -426,9 +426,12 @@ def run_inference(prior_natparam, global_natparam, nn_potentials, key,
     ``backend="pallas"`` runs the Kalman sweeps of the structured
     mean-field on the fused differentiable Pallas kernels with
     per-sequence state-averaged pair potentials (the bpairs layout);
-    "xla" vmaps the per-sequence scan path. Drop-in equivalent
-    (parity-tested, tests/test_slds.py).
+    "xla" vmaps the per-sequence scan path; "auto" resolves to "pallas"
+    on TPU and "xla" elsewhere. Drop-in equivalent (parity-tested,
+    tests/test_slds.py).
     """
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     J_diag, h = nn_potentials
     batched = J_diag.ndim == 3
     if backend == "pallas":

@@ -168,20 +168,16 @@ def build_leaves(init, pairs, nodes):
 #             on this XLA:TPU toolchain -- header note)
 #   int C  -> BLOCKED TWO-PASS scan: split the T-1 leaves into C chunks,
 #             combine within chunks as ONE lax.scan vectorized over the
-#             chunk axis (depth T/C), reduce the C chunk elements with a
-#             tiny sequential scan (depth C), then seed every chunk with
-#             its global prefix in one batched combine. Sequential depth
-#             T/C + C with plain-scan compile cost -- the practical
+#             chunk axis (depth ceil((T-1)/C)), reduce the C chunk elements
+#             with a tiny sequential scan (depth C), then seed every chunk
+#             with its global prefix in one batched combine. Sequential
+#             depth T/C + C with plain-scan compile cost -- the practical
 #             parallel-in-time flavor (temporal parallelization per
-#             arXiv:1905.13002 without the associative_scan tree). C is
-#             snapped down to a divisor of T-1.
-
-
-def _snap_chunks(T1, C):
-    C = max(1, min(int(C), T1))
-    while T1 % C:
-        C -= 1
-    return C
+#             arXiv:1905.13002 without the associative_scan tree). Any
+#             (T, C) works: indivisible lengths are front-padded with
+#             masked rows (the chain algebra has no identity element, so
+#             pads are skipped with a started-flag masked combine, the same
+#             scheme parallel/time_shard.py uses on the mesh).
 
 
 def _chunked_scan(leaves, C, reverse=False, op2=None):
@@ -193,49 +189,83 @@ def _chunked_scan(leaves, C, reverse=False, op2=None):
     pytree, shape-compatible with the sequential flavor's output."""
     op2 = combine if op2 is None else op2
     T1 = jax.tree.leaves(leaves)[0].shape[0]
-    C = _snap_chunks(T1, C)
-    L = T1 // C
+    C = max(1, min(int(C), T1))
+    L = -(-T1 // C)  # ceil
+    npad = C * L - T1
     # A suffix scan is the prefix scan of the time-flipped leaves with the
     # operands flipped inside the operator (op2(earlier, later) keeps its
     # temporal meaning); flip the result back at the end.
     op = (lambda a, b: op2(b, a)) if reverse else op2
     if reverse:
         leaves = jax.tree.map(lambda a: jnp.flip(a, axis=0), leaves)
+    if npad:
+        # Front-pad with copies of row 0: values are finite and in-regime
+        # (keeps combine internals -- and hence their VJPs -- NaN-free) but
+        # are excluded from every combine by the started/ok masks below.
+        leaves = jax.tree.map(
+            lambda a: jnp.concatenate(
+                [jnp.broadcast_to(a[:1], (npad,) + a.shape[1:]), a], axis=0),
+            leaves)
+    validc = (jnp.arange(C * L) >= npad).reshape(C, L)
+
+    def bwhere(c, x, y):
+        # c: (...,) bool mask over the leading axes of pytrees x/y
+        return jax.tree.map(
+            lambda a, b: jnp.where(
+                c.reshape(c.shape + (1,) * (a.ndim - c.ndim)), a, b), x, y)
+
+    def mstep(state, leaf_ok):
+        # masked combine: until a valid leaf is absorbed the carry is a pad
+        # row, so the first valid leaf REPLACES it; invalid leaves keep the
+        # carry unchanged.
+        carry, started = state
+        leaf, ok = leaf_ok
+        new = bwhere(started, op(carry, leaf), leaf)
+        out = bwhere(ok, new, carry)
+        return (out, started | ok), out
 
     lc = jax.tree.map(lambda a: a.reshape((C, L) + a.shape[1:]), leaves)
     e0 = jax.tree.map(lambda a: a[:, 0], lc)
     rest = jax.tree.map(lambda a: jnp.moveaxis(a[:, 1:], 1, 0), lc)
-
-    def step(carry, leaf):
-        out = op(carry, leaf)
-        return out, out
-
-    eC, tail = jax.lax.scan(step, e0, rest)  # eC: chunk totals (C, ...)
+    (eC, _), tail = jax.lax.scan(
+        mstep, (e0, validc[:, 0]), (rest, jnp.moveaxis(validc[:, 1:], 1, 0)))
     local = jax.tree.map(
         lambda f0, r: jnp.concatenate([f0[:, None], jnp.moveaxis(r, 0, 1)],
                                       axis=1), e0, tail)  # (C, L, ...)
 
-    # chunk-level inclusive reduction (tiny sequential scan over C)
+    # chunk-level inclusive reduction (tiny sequential scan over C); with
+    # front padding at most the leading chunks are all-pad, their totals
+    # masked out the same way
+    cvalid = validc.any(axis=1)
     ec0 = jax.tree.map(lambda a: a[0], eC)
     ecrest = jax.tree.map(lambda a: a[1:], eC)
-    total, ptail = jax.lax.scan(step, ec0, ecrest)
+
+    def mstep1(state, leaf_ok):
+        new_state, out = mstep(state, leaf_ok)
+        return new_state, new_state  # carry AND its validity flag
+
+    (total, _), (ptail, stail) = jax.lax.scan(
+        mstep1, (ec0, cvalid[0]), (ecrest, cvalid[1:]))
     Pincl = jax.tree.map(
         lambda f0, r: jnp.concatenate([f0[None], r], axis=0), ec0, ptail)
+    Pvalid = jnp.concatenate([cvalid[:1], stail], axis=0)  # (C,)
 
     # seed chunks 1.. with the previous chunks' running element (ONE
-    # batched combine over (C-1) x L leaves -- no sequential dependency)
+    # batched combine over (C-1) x L leaves -- no sequential dependency);
+    # chunks whose entire prefix is padding keep their local scan
     first = jax.tree.map(lambda a: a[0], local)
     if C > 1:
         Pprev = jax.tree.map(lambda a: jnp.broadcast_to(
             a[:-1, None], (C - 1, L) + a.shape[1:]), Pincl)
         restloc = jax.tree.map(lambda a: a[1:], local)
-        seeded = op(Pprev, restloc)
+        seeded = bwhere(Pvalid[:-1, None], op(Pprev, restloc), restloc)
         out = jax.tree.map(
             lambda f, s: jnp.concatenate([f[None], s], axis=0), first,
             seeded)
     else:
         out = jax.tree.map(lambda a: a[None], first)
-    out = jax.tree.map(lambda a: a.reshape((T1,) + a.shape[2:]), out)
+    out = jax.tree.map(
+        lambda a: a.reshape((C * L,) + a.shape[2:])[npad:], out)
     if reverse:
         out = jax.tree.map(lambda a: jnp.flip(a, axis=0), out)
     return total, out

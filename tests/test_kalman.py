@@ -19,17 +19,34 @@ def to_jnp(tree):
                 ids=["parallel", "sequential", "chunked4", "chunked3"])
 def parallel(request):
     """Scan flavors: associative scan, sequential scan, and the blocked
-    two-pass chunked scan (ints = requested chunk count; snapped down to a
-    divisor of T-1, so odd T-1 also exercises the snapping path)."""
+    two-pass chunked scan (ints = chunk count; indivisible T-1 exercises
+    the masked front-padding path)."""
     return request.param
 
 
-def test_chunk_snapping():
-    assert kalman._snap_chunks(12, 4) == 4
-    assert kalman._snap_chunks(12, 5) == 4
-    assert kalman._snap_chunks(13, 4) == 1   # prime: falls back to 1 chunk
-    assert kalman._snap_chunks(8, 100) == 8  # capped at T-1
-    assert kalman._snap_chunks(8, 0) == 1
+@pytest.mark.parametrize("T1,C", [(13, 4), (13, 13), (5, 4), (7, 100),
+                                  (12, 0), (1, 3)])
+def test_chunked_scan_padding(T1, C):
+    """The masked-pad chunked scan must match the plain sequential scan for
+    ANY (length, chunk) combination, including all-pad leading chunks
+    (T1=5, C=4 -> L=2, pad=3) and degenerate requests."""
+    init, pairs, nodes = make_lds_potentials(T=T1 + 1, d=2, seed=3)
+    leaves = kalman.build_leaves(*to_jnp((init, pairs, nodes)))
+
+    e = jax.tree.map(lambda a: a[0], leaves)
+    seq = [e]
+    for t in range(1, T1):
+        e = kalman.combine(e, jax.tree.map(lambda a: a[t], leaves))
+        seq.append(e)
+    total, pref = kalman._chunked_scan(leaves, C)
+    for t in range(T1):
+        for a, b in zip(jax.tree.leaves(seq[t]),
+                        jax.tree.leaves(jax.tree.map(lambda x: x[t], pref))):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-9, atol=1e-10)
+    for a, b in zip(jax.tree.leaves(seq[-1]), jax.tree.leaves(total)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-9, atol=1e-10)
 
 
 class TestLogZ:
