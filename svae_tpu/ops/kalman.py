@@ -342,8 +342,6 @@ def _smoother_core(init, pairs, nodes, parallel=False):
     """Smoother body; additionally returns the filtered messages (Jf, hf)
     so ``lds_inference`` can hand them to the sampler without repeating the
     prefix scan (halves the scan work of the fused E-step)."""
-    N1, N2 = nodes
-    T, d = N2.shape
     leaves = build_leaves(init, pairs, nodes)
     total, prefix = _total_element(leaves, parallel)
 
@@ -367,7 +365,17 @@ def _smoother_core(init, pairs, nodes, parallel=False):
         suffix = jax.tree.map(
             lambda r, e: jnp.concatenate([r, e[None]], axis=0), body, eT
         )
+    return assemble_moments(init, pairs, nodes, total, prefix, suffix)
 
+
+def assemble_moments(init, pairs, nodes, total, prefix, suffix):
+    """Smoothed moments from the chain-element scans: given the total
+    element plus the inclusive prefix/suffix element trees (any scan
+    flavor, including the chunked Pallas deployment in
+    svae_tpu/ops/pallas_chunked.py), assemble
+    ``(logZ, Ex, ExxT, Exnxt, Jf, hf)`` -- pure batched XLA."""
+    N1, N2 = nodes
+    T, d = N2.shape
     logZ = _gauss_logZ_info(*marginalize_first(total))
 
     # Forward filtered messages alpha_t (nodes 1..t consumed):
