@@ -231,27 +231,36 @@ def measure_slds(B=16, T=50, K=4, d_latent=3, num_iters=10, iters=10):
 
 
 def measure_hmm(B=128, T=100, K=8, iters=20):
-    """HMM posterior (logZ + node/pair marginals) seqs/sec: TPU batched
-    custom-VJP log-matmul path vs the native C++ sequential twin."""
+    """HMM posterior (logZ + node/pair marginals) seqs/sec: fused Pallas
+    forward-backward kernel (headline) and the XLA batched custom-VJP
+    log-matmul path, vs the native C++ sequential twin."""
     import jax
     import jax.numpy as jnp
-    from svae_tpu.ops import hmm, native, oracles
+    from svae_tpu.ops import hmm, pallas_hmm, native, oracles
 
     key = jax.random.PRNGKey(0)
     log_obs = jax.random.normal(key, (B, T, K))
-    pi0 = jnp.full((K,), 1.0 / K)
-    Pi = jnp.full((K, K), 1.0 / K)
-    f = jax.jit(jax.vmap(lambda lo: hmm.hmm_posterior(pi0, Pi, lo)))
-    out = f(log_obs)
-    jax.block_until_ready(out)
+    pi0 = jnp.full((K,), -np.log(K))
+    Pi = jnp.full((K, K), -np.log(K))
 
-    def run_iters(k):
-        for _ in range(k):
-            out = f(log_obs)
-        return out
+    def time_fn(f):
+        out = f(log_obs)
+        jax.block_until_ready(out)
 
-    dt = _lump_time(run_iters, iters)
+        def run_iters(k):
+            for _ in range(k):
+                out = f(log_obs)
+            return out
+
+        return _lump_time(run_iters, iters)
+
+    interp = jax.default_backend() != "tpu"  # Mosaic needs the chip
+    dt = time_fn(jax.jit(
+        lambda lo: pallas_hmm.hmm_posterior(pi0, Pi, lo, interpret=interp)))
     tpu_seqs = B / dt
+    dt_xla = time_fn(jax.jit(jax.vmap(
+        lambda lo: hmm.hmm_posterior(pi0, Pi, lo))))
+    tpu_seqs_xla = B / dt_xla
 
     lo = np.asarray(log_obs[0], np.float64)
     log_init = np.full(K, -np.log(K))
@@ -264,7 +273,7 @@ def measure_hmm(B=128, T=100, K=8, iters=20):
     for _ in range(reps):
         marg(log_init, log_trans, lo)
     cpu_seqs = 1.0 / ((time.perf_counter() - t0) / reps)
-    return tpu_seqs, cpu_seqs
+    return tpu_seqs, tpu_seqs_xla, cpu_seqs
 
 
 def speed_of_light(step_dt, B=64, T=100, d=10, S=2, block_b=128):
@@ -332,6 +341,15 @@ def main():
     except Exception:
         result["train_step_xla_seqs_per_sec"] = None
     try:
+        # full-lane throughput point: B=64 only half-fills the 128-lane
+        # kernel layout (and per-chip throughput keeps scaling to B=256)
+        tr256, _ = measure_tpu_steps("pallas", B=256)
+        es256 = measure_tpu_estep("pallas", B=256)
+        result["train_step_b256_seqs_per_sec"] = round(tr256, 2)
+        result["estep_b256_seqs_per_sec"] = round(es256, 2)
+    except Exception:
+        result["train_step_b256_seqs_per_sec"] = None
+    try:
         slds_tpu, slds_cpu, slds_dt = measure_slds()
         result["slds_estep_seqs_per_sec"] = round(slds_tpu, 2)
         result["slds_vs_cpu"] = round(slds_tpu / slds_cpu, 2)
@@ -339,8 +357,9 @@ def main():
     except Exception:
         result["slds_estep_seqs_per_sec"] = None
     try:
-        hmm_tpu, hmm_cpu = measure_hmm()
+        hmm_tpu, hmm_xla, hmm_cpu = measure_hmm()
         result["hmm_posterior_seqs_per_sec"] = round(hmm_tpu, 2)
+        result["hmm_posterior_xla_seqs_per_sec"] = round(hmm_xla, 2)
         result["hmm_vs_cpu"] = round(hmm_tpu / hmm_cpu, 2)
     except Exception:
         result["hmm_posterior_seqs_per_sec"] = None

@@ -232,7 +232,7 @@ def _batched_meanfield_pallas(global_natparam, nn_potentials, num_iters=15,
     with per-sequence state-averaged pair potentials streamed through the
     bpairs kernel layout; the HMM sweeps stay vmapped XLA (K is small).
     Same semantics as ``local_meanfield`` vmapped (parity-tested)."""
-    from svae_tpu.ops import pallas_vjp
+    from svae_tpu.ops import pallas_vjp, pallas_hmm
 
     init_dir, trans_dir, niw_np, mniw_np = global_natparam
     e_pi0 = dirichlet.expectedstats(init_dir)
@@ -250,22 +250,24 @@ def _batched_meanfield_pallas(global_natparam, nn_potentials, num_iters=15,
     def x_step(r_next, params):
         e_pair, ci, nds = params
         pairs = _averaged_pairs_b(e_pair, r_next)
-        logZ_x, Ex, ExxT, Exnxt = pallas_vjp.lds_smoother(
+        logZ_x, Jf, hf, Jb, hb = pallas_vjp.fb_pass(
             ci, pairs, nds, interpret=interpret)
-        return logZ_x, pairs, (Ex, ExxT, Exnxt)
+        Ex, ExxT, Exnxt = pallas_vjp._smoother_assembly(
+            pairs, nds, Jf, hf, Jb, hb)
+        return logZ_x, pairs, (Ex, ExxT, Exnxt), (Jf, hf)
 
     def z_step(xps, params):
         e_pair, epi0, ePi = params
         L = _pair_energies_b(e_pair, xps)  # (B, T-1, K)
         log_obs = jnp.concatenate(
             [jnp.zeros((B, 1, K), L.dtype), L], axis=1)
-        logZ_z, r, pair_marg, r1 = jax.vmap(
-            lambda lo: hmm.hmm_posterior(epi0, ePi, lo))(log_obs)
+        logZ_z, r, pair_marg, r1 = pallas_hmm.hmm_posterior(
+            epi0, ePi, log_obs, interpret=interpret)
         return logZ_z, L, r, pair_marg, r1
 
     def sweep(r, params):
         (e_pair, ci, nds, epi0, ePi) = params
-        _, _, (Ex, ExxT, Exnxt) = x_step(r[:, 1:], (e_pair, ci, nds))
+        _, _, (Ex, ExxT, Exnxt), _ = x_step(r[:, 1:], (e_pair, ci, nds))
         _, _, r_new, _, _ = z_step(_x_pair_stats_b(Ex, ExxT, Exnxt),
                                    (e_pair, epi0, ePi))
         return r_new
@@ -285,7 +287,7 @@ def _batched_meanfield_pallas(global_natparam, nn_potentials, num_iters=15,
     for _ in range(num_diff):
         r = sweep(r, params)
 
-    logZ_x, pairs_bar, (Ex, ExxT, Exnxt) = x_step(
+    logZ_x, pairs_bar, (Ex, ExxT, Exnxt), filt = x_step(
         r[:, 1:], (E_pair, chain_init, nodes))
     xps = _x_pair_stats_b(Ex, ExxT, Exnxt)
     logZ_z, L, r, trans_pair_stats, r1 = z_step(xps, (E_pair, e_pi0, e_Pi))
@@ -295,7 +297,8 @@ def _batched_meanfield_pallas(global_natparam, nn_potentials, num_iters=15,
     local_kl = Lr_term + psi_term - jnp.sum(logZ_z) - jnp.sum(logZ_x)
 
     hmm_post = (logZ_z, r, trans_pair_stats, r1)
-    lds_post = (logZ_x, (chain_init, pairs_bar, nodes), (Ex, ExxT, Exnxt))
+    lds_post = (logZ_x, (chain_init, pairs_bar, nodes), (Ex, ExxT, Exnxt),
+                filt)
     return hmm_post, lds_post, local_kl
 
 
@@ -308,9 +311,9 @@ def _batched_inference_pallas(global_natparam, nn_potentials, key,
         global_natparam, nn_potentials, num_iters, num_diff_iters,
         interpret=interpret)
     _, r, trans_pair_stats, r1 = hmm_post
-    _, (ci, pairs_bar, nodes), (Ex, ExxT, Exnxt) = lds_post
+    _, (ci, pairs_bar, nodes), (Ex, ExxT, Exnxt), filt = lds_post
     samples = pallas_vjp.lds_sample(ci, pairs_bar, nodes, key, num_samples,
-                                    interpret=interpret)
+                                    interpret=interpret, filtered=filt)
 
     one = jnp.ones((), Ex.dtype)
     r_next = r[:, 1:]  # (B, T-1, K)

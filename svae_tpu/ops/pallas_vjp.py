@@ -5,12 +5,14 @@ This is the TPU-native counterpart of the reference's production training
 path -- Cython message-passing kernels with hand-written backward passes
 registered as autograd primitives (reference:
 svae/lds/cython_lds_inference.pyx ``*_grad`` kernels + ``defvjp``;
-SURVEY.md section 2 #13). Three primitives, each a forward Pallas kernel
+SURVEY.md section 2 #13). Four primitives, each a forward Pallas kernel
 plus a hand-derived adjoint Pallas kernel:
 
   * forward information filter       (adjoint runs backward in time)
   * backward information filter      (adjoint runs forward in time)
   * backward conditional sampler     (adjoint runs forward in time)
+  * FUSED forward+backward filters   (both directions in ONE pass via
+    opposite per-operand index maps; mixed-direction fused adjoint)
 
 The smoothed-moment assembly between them is cheap batched XLA built on
 custom-VJP'd unrolled linalg (svae_tpu/utils/smallchol.py), so composing
@@ -201,6 +203,100 @@ def _sampler_fwd_kernel(P2f, P3f, Jft, hft, epsf, xT, x_out, xs, *, d,
 
 
 # ==========================================================================
+# fused filter + backward kernel (one pass, two independent recursions)
+# ==========================================================================
+#
+# The forward and backward information filters are independent of each
+# other (the smoother combines them only afterwards), and per-step time is
+# bound by each recursion's serialized dependency chain rather than by
+# issue bandwidth (the U-unroll measurement, see DEFAULT_UNROLL).
+# Interleaving both recursions in ONE grid pass therefore overlaps their
+# dependency stalls: the ascending (filter) streams and the descending
+# (backward) streams are the same arrays passed twice with opposite
+# BlockSpec index maps. This halves the kernel passes of the smoother
+# (the SLDS mean-field sweeps' hot loop) and cuts the E-step forward from
+# three passes to two.
+
+
+def _fb_fwd_kernel(J0, h0, P1a, P2a, P3a, Pca, N1a, N2a,
+                   P1d, P2d, P3d, N1d, N2d,
+                   Jf_out, hf_out, ln_out, Jb_out, hb_out,
+                   Jfs, hfs, acc, Jbs, hbs, *, d, U, T1, G):
+    i = pl.program_id(0)  # filter block i (asc); backward block G-1-i
+    dd = d * d
+    masked = (T1 % U) != 0
+
+    @pl.when(i == 0)
+    def _():
+        Jfs[:] = J0[:]
+        hfs[:] = h0[:]
+        acc[:] = jnp.zeros_like(acc)
+        Jbs[:] = jnp.zeros_like(Jbs)
+        hbs[:] = jnp.zeros_like(hbs)
+
+    J = _rows(Jfs[:], dd)
+    h = _rows(hfs[:], d)
+    a = acc[0, :]
+    Jn = _rows(Jbs[:], dd)
+    hn = _rows(hbs[:], d)
+    for u in range(U):
+        # ---- forward filter step at t = i*U + u ----
+        p1 = _rows(P1a[u], dd)
+        p2 = _rows(P2a[u], dd)
+        p3 = _rows(P3a[u], dd)
+        pc = Pca[u][0]
+        n1 = _rows(N1a[u], dd)
+        n2 = _rows(N2a[u], d)
+        M = ra.sub(J, ra.scale(p3, 2.0))
+        L = ra.chol(M, d)
+        v = ra.solve_lower(L, h, d)
+        inc = (0.5 * d * LOG2PI - 0.5 * ra.logdet_from_chol(L, d)
+               + 0.5 * ra.dot(v, v) + pc)
+        w = ra.solve_upper(L, v, d)
+        Minv_p2T = ra.solve_upper_mat(
+            L, ra.solve_lower_mat(L, ra.transpose(p2, d), d), d)
+        J = ra.sub(ra.sub(ra.scale(p1, -2.0), ra.scale(n1, 2.0)),
+                   ra.matmul(p2, Minv_p2T, d))
+        h = ra.add(ra.matvec(p2, w, d), n2)
+        if masked:
+            a = a + jnp.where(i * U + u < T1, inc, 0.0)
+        else:
+            a = a + inc
+        Jf_out[u, :, :] = jnp.stack(J, axis=0)
+        hf_out[u, :, :] = jnp.stack(h, axis=0)
+
+        # ---- backward filter step at t = (G-1-i)*U + (U-1-u) ----
+        ub = U - 1 - u
+        q1 = _rows(P1d[ub], dd)
+        q2 = _rows(P2d[ub], dd)
+        q3 = _rows(P3d[ub], dd)
+        m1 = _rows(N1d[ub], dd)
+        m2 = _rows(N2d[ub], d)
+        Mb = ra.add(ra.sub(ra.scale(q1, -2.0), ra.scale(m1, 2.0)), Jn)
+        Lb = ra.chol(Mb, d)
+        bb = ra.add(hn, m2)
+        wb = ra.cho_solve(Lb, bb, d)
+        newh = ra.matvec_T(q2, wb, d)
+        Minv_q2 = ra.solve_upper_mat(Lb, ra.solve_lower_mat(Lb, q2, d), d)
+        newJ = ra.sub(ra.scale(q3, -2.0), ra.matmul_TN(q2, Minv_q2, d))
+        if masked:
+            live = (G - 1 - i) * U + ub < T1
+            Jn = [jnp.where(live, x, y) for x, y in zip(newJ, Jn)]
+            hn = [jnp.where(live, x, y) for x, y in zip(newh, hn)]
+        else:
+            Jn, hn = newJ, newh
+        Jb_out[ub, :, :] = jnp.stack(Jn, axis=0)
+        hb_out[ub, :, :] = jnp.stack(hn, axis=0)
+
+    Jfs[:] = jnp.stack(J, axis=0)
+    hfs[:] = jnp.stack(h, axis=0)
+    acc[0, :] = a
+    ln_out[:] = acc[:]
+    Jbs[:] = jnp.stack(Jn, axis=0)
+    hbs[:] = jnp.stack(hn, axis=0)
+
+
+# ==========================================================================
 # adjoint kernels (hand-derived; see module docstring)
 # ==========================================================================
 
@@ -369,6 +465,110 @@ def _sampler_adj_kernel(P2f, P3f, Jft, hft, xb, xnext, dx,
     dxT_out[:] = cx[:]
 
 
+def _fb_adj_kernel(P2d, P3d, Jtd, htd, dJfd, dhfd, lam,
+                   P1a, P2a, N1a, N2a, Jbna, hbna, dJba, dhba,
+                   dGf_out, dgf_out, dP2f_out, dMf_out, dJ0_out, dh0_out,
+                   dGb_out, dP2b_out, dMb_out, dbb_out,
+                   cJf, chf, cJb, chb, *, d, U, T1, G_):
+    """Fused adjoint of ``_fb_fwd_kernel``: the filter adjoint sweeps
+    DESCENDING (its streams arrive via reversed index maps, carry masked
+    through the tail pads it meets first) while the backward-filter
+    adjoint sweeps ASCENDING (pads last, no masking needed) -- the same
+    interleaving argument as the forward fusion."""
+    s = pl.program_id(0)
+    dd = d * d
+    masked = (T1 % U) != 0
+
+    @pl.when(s == 0)
+    def _():
+        cJf[:] = jnp.zeros_like(cJf)
+        chf[:] = jnp.zeros_like(chf)
+        cJb[:] = jnp.zeros_like(cJb)
+        chb[:] = jnp.zeros_like(chb)
+
+    Mcf = _rows(cJf[:], dd)
+    hcf = _rows(chf[:], d)
+    Mcb = _rows(cJb[:], dd)
+    hcb = _rows(chb[:], d)
+    for u in range(U):
+        # ---- filter adjoint at t = (G_-1-s)*U + (U-1-u) (descending) ----
+        uf = U - 1 - u
+        G = ra.add(Mcf, _rows(dJfd[uf], dd))
+        g = ra.add(hcf, _rows(dhfd[uf], d))
+        p2 = _rows(P2d[uf], dd)
+        p3 = _rows(P3d[uf], dd)
+        J = _rows(Jtd[uf], dd)
+        h = _rows(htd[uf], d)
+        lv = lam[0]
+        M = ra.sub(J, ra.scale(p3, 2.0))
+        L = ra.chol(M, d)
+        W = ra.cho_inverse(L, d)
+        w = ra.matvec(W, h, d)
+        uvec = ra.matvec_T(p2, g, d)
+        hbar = [lv * wi + x for wi, x in zip(w, ra.matvec(W, uvec, d))]
+        Wbar = ra.add(
+            ra.add(ra.scale(ra.matmul(ra.matmul_TN(p2, G, d), p2, d),
+                            -1.0),
+                   ra.outer(uvec, h, d)),
+            [0.5 * lv * e for e in ra.outer(h, h, d)])
+        Mbar = ra.sub(
+            ra.scale(ra.matmul(ra.matmul(W, Wbar, d), W, d), -1.0),
+            [0.5 * lv * e for e in W])
+        Mbar = ra.sym(Mbar, d)
+        Gsym = ra.add(G, ra.transpose(G, d))
+        dP2f = ra.add(
+            ra.scale(ra.matmul(Gsym, ra.matmul(p2, W, d), d), -1.0),
+            ra.outer(g, w, d))
+        _store_u(dGf_out, uf, G)
+        _store_u(dgf_out, uf, g)
+        _store_u(dP2f_out, uf, dP2f)
+        _store_u(dMf_out, uf, Mbar)
+        if masked:
+            live = (G_ - 1 - s) * U + uf < T1
+            Mcf = [jnp.where(live, x, y) for x, y in zip(Mbar, Mcf)]
+            hcf = [jnp.where(live, x, y) for x, y in zip(hbar, hcf)]
+        else:
+            Mcf, hcf = Mbar, hbar
+
+        # ---- backward-filter adjoint at t = s*U + u (ascending) ----
+        Gb = ra.add(Mcb, _rows(dJba[u], dd))
+        gb = ra.add(hcb, _rows(dhba[u], d))
+        q1 = _rows(P1a[u], dd)
+        q2 = _rows(P2a[u], dd)
+        m1 = _rows(N1a[u], dd)
+        m2 = _rows(N2a[u], d)
+        Jn = _rows(Jbna[u], dd)
+        hn = _rows(hbna[u], d)
+        Mb = ra.add(ra.sub(ra.scale(q1, -2.0), ra.scale(m1, 2.0)), Jn)
+        Lb = ra.chol(Mb, d)
+        Wb = ra.cho_inverse(Lb, d)
+        bvec = ra.add(hn, m2)
+        wb = ra.matvec(Wb, bvec, d)
+        ub2 = ra.matvec(q2, gb, d)
+        bbar = ra.matvec(Wb, ub2, d)
+        Wbbar = ra.add(
+            ra.scale(ra.matmul_NT(ra.matmul(q2, Gb, d), q2, d), -1.0),
+            ra.outer(ub2, bvec, d))
+        Mbbar = ra.sym(
+            ra.scale(ra.matmul(ra.matmul(Wb, Wbbar, d), Wb, d), -1.0), d)
+        Gbsym = ra.add(Gb, ra.transpose(Gb, d))
+        dP2b = ra.add(
+            ra.scale(ra.matmul(ra.matmul(Wb, q2, d), Gbsym, d), -1.0),
+            ra.outer(wb, gb, d))
+        _store_u(dGb_out, u, Gb)
+        _store_u(dP2b_out, u, dP2b)
+        _store_u(dMb_out, u, Mbbar)
+        _store_u(dbb_out, u, bbar)
+        Mcb, hcb = Mbbar, bbar
+
+    cJf[:] = jnp.stack(Mcf, axis=0)
+    chf[:] = jnp.stack(hcf, axis=0)
+    dJ0_out[:] = cJf[:]
+    dh0_out[:] = chf[:]
+    cJb[:] = jnp.stack(Mcb, axis=0)
+    chb[:] = jnp.stack(hcb, axis=0)
+
+
 # ==========================================================================
 # pallas_call plumbing
 # ==========================================================================
@@ -534,6 +734,77 @@ def _sampler_fwd_call(P2f, P3f, Jft, hft, epsf, xT, *, d, U, interpret):
     return xb[:T1]
 
 
+def _fb_fwd_call(J0, h0, P1f, P2f, P3f, Pcf, N1f, N2f, *, d, U,
+                 interpret):
+    T1, dd, Bp = P1f.shape
+    dt = J0.dtype
+    G, Tp = _grid_of(T1, U)
+    r = G - 1
+    P1f, P2f, P3f, Pcf, N1f, N2f = (
+        _pad_time(x, Tp) for x in (P1f, P2f, P3f, Pcf, N1f, N2f))
+    a = lambda m: _blk(U, m, Bp)          # ascending (filter) streams
+    dsc = lambda m: _blk(U, m, Bp, rev=r)  # descending (backward) streams
+    Jf, hf, ln, Jb, hb = pl.pallas_call(
+        functools.partial(_fb_fwd_kernel, d=d, U=U, T1=T1, G=G),
+        grid=(G,),
+        in_specs=[_whole(), _whole(),
+                  a(dd), a(dd), a(dd), a(1), a(dd), a(d),
+                  dsc(dd), dsc(dd), dsc(dd), dsc(dd), dsc(d)],
+        out_specs=[a(dd), a(d), _whole(), dsc(dd), dsc(d)],
+        out_shape=[jax.ShapeDtypeStruct((Tp, dd, Bp), dt),
+                   jax.ShapeDtypeStruct((Tp, d, Bp), dt),
+                   jax.ShapeDtypeStruct((1, Bp), dt),
+                   jax.ShapeDtypeStruct((Tp, dd, Bp), dt),
+                   jax.ShapeDtypeStruct((Tp, d, Bp), dt)],
+        scratch_shapes=[pltpu.VMEM((dd, Bp), dt), pltpu.VMEM((d, Bp), dt),
+                        pltpu.VMEM((1, Bp), dt),
+                        pltpu.VMEM((dd, Bp), dt), pltpu.VMEM((d, Bp), dt)],
+        compiler_params=_PARAMS,
+        interpret=interpret,
+    )(J0, h0, P1f, P2f, P3f, Pcf, N1f, N2f, P1f, P2f, P3f, N1f, N2f)
+    return Jf[:T1], hf[:T1], ln, Jb[:T1], hb[:T1]
+
+
+def _fb_adj_call(P2f, P3f, Jft, hft, dJf, dhf, lam,
+                 P1f, N1f, N2f, Jbn, hbn, dJb, dhb, *, d, U, interpret):
+    T1, dd, Bp = P2f.shape
+    dt = Jft.dtype
+    G, Tp = _grid_of(T1, U)
+    r = G - 1
+    (P2f, P3f, Jft, hft, dJf, dhf, P1f, N1f, N2f, Jbn, hbn, dJb,
+     dhb) = (_pad_time(x, Tp) for x in
+             (P2f, P3f, Jft, hft, dJf, dhf, P1f, N1f, N2f, Jbn, hbn,
+              dJb, dhb))
+    a = lambda m: _blk(U, m, Bp)
+    dsc = lambda m: _blk(U, m, Bp, rev=r)
+    out = pl.pallas_call(
+        functools.partial(_fb_adj_kernel, d=d, U=U, T1=T1, G_=G),
+        grid=(G,),
+        in_specs=[dsc(dd), dsc(dd), dsc(dd), dsc(d), dsc(dd), dsc(d),
+                  _whole(),
+                  a(dd), a(dd), a(dd), a(d), a(dd), a(d), a(dd), a(d)],
+        out_specs=[dsc(dd), dsc(d), dsc(dd), dsc(dd), _whole(), _whole(),
+                   a(dd), a(dd), a(dd), a(d)],
+        out_shape=[jax.ShapeDtypeStruct((Tp, dd, Bp), dt),
+                   jax.ShapeDtypeStruct((Tp, d, Bp), dt),
+                   jax.ShapeDtypeStruct((Tp, dd, Bp), dt),
+                   jax.ShapeDtypeStruct((Tp, dd, Bp), dt),
+                   jax.ShapeDtypeStruct((dd, Bp), dt),
+                   jax.ShapeDtypeStruct((d, Bp), dt),
+                   jax.ShapeDtypeStruct((Tp, dd, Bp), dt),
+                   jax.ShapeDtypeStruct((Tp, dd, Bp), dt),
+                   jax.ShapeDtypeStruct((Tp, dd, Bp), dt),
+                   jax.ShapeDtypeStruct((Tp, d, Bp), dt)],
+        scratch_shapes=[pltpu.VMEM((dd, Bp), dt), pltpu.VMEM((d, Bp), dt),
+                        pltpu.VMEM((dd, Bp), dt), pltpu.VMEM((d, Bp), dt)],
+        compiler_params=_PARAMS,
+        interpret=interpret,
+    )(P2f, P3f, Jft, hft, dJf, dhf, lam,
+      P1f, P2f, N1f, N2f, Jbn, hbn, dJb, dhb)
+    sliced = tuple(x[:T1] for x in out[:4]) + tuple(out[4:6])
+    return sliced + tuple(x[:T1] for x in out[6:])
+
+
 def _sampler_adj_call(P2f, P3f, Jft, hft, xb, xnext, dx, *, d, U,
                       interpret):
     T1, dd, Bp = P2f.shape
@@ -566,11 +837,14 @@ def _sampler_adj_call(P2f, P3f, Jft, hft, xb, xnext, dx, *, d, U,
 
 
 # U-step time unroll, measured on-chip (v5e, B=64 T=100 d=10, f32,
-# 2026-08-17): fused E-step fwd/grad ms at U=1: 2.73/4.31, U=4: 2.60/4.13,
-# U=8: 3.33/4.23, U=16: 2.59/5.13 -- outputs bit-identical across U. The
-# chain is bound by the serialized step math, not per-grid-step overhead,
-# so unrolling buys only ~5%; U=4 is the sweet spot on both passes.
-DEFAULT_UNROLL = 4
+# 2026-08-17). Separate filter+backward passes: E-step fwd/grad ms at
+# U=1: 2.73/4.31, U=4: 2.60/4.13, U=8: 3.33/4.23, U=16: 2.59/5.13.
+# With the fused forward pass (fb_pass, the production path): U=1:
+# 2.27/4.23, U=4: 2.39/4.29 -- outputs bit-identical across U. The chain
+# is bound by the serialized step math, not per-grid-step overhead, so
+# unrolling buys nothing once the forward passes are fused; U=1 also
+# compiles ~3x faster.
+DEFAULT_UNROLL = 1
 
 
 def _resolve_unroll(interpret, unroll):
@@ -582,8 +856,11 @@ def _resolve_unroll(interpret, unroll):
 
 
 @functools.lru_cache(maxsize=8)
-def _prims(d, interpret, U):
-    """Build the three custom-VJP primitives for (d, interpret, unroll)."""
+def _prims(d, interpret, U, fused_adj=False):
+    """Build the four custom-VJP primitives for (d, interpret, unroll);
+    ``fused_adj`` selects the fused mixed-direction adjoint kernel for
+    ``fb_prim`` (measured slower -- see ``fb_bwd`` -- kept reachable for
+    benchmarking and tested for parity)."""
 
     @jax.custom_vjp
     def filter_prim(J0, h0, P1f, P2f, P3f, Pcf, N1f, N2f):
@@ -659,7 +936,59 @@ def _prims(d, interpret, U):
 
     sampler_prim.defvjp(sampler_fwd, sampler_bwd)
 
-    return filter_prim, backward_prim, sampler_prim
+    @jax.custom_vjp
+    def fb_prim(J0, h0, P1f, P2f, P3f, Pcf, N1f, N2f):
+        return _fb_fwd_call(J0, h0, P1f, P2f, P3f, Pcf, N1f, N2f,
+                            d=d, U=U, interpret=interpret)
+
+    def fb_fwd(J0, h0, P1f, P2f, P3f, Pcf, N1f, N2f):
+        out = _fb_fwd_call(J0, h0, P1f, P2f, P3f, Pcf, N1f, N2f,
+                           d=d, U=U, interpret=interpret)
+        Jf_tail, hf_tail, _, Jb_body, hb_body = out
+        Jft = jnp.concatenate([J0[None], Jf_tail[:-1]], axis=0)
+        hft = jnp.concatenate([h0[None], hf_tail[:-1]], axis=0)
+        zJ = jnp.zeros_like(Jb_body[:1])
+        zh = jnp.zeros_like(hb_body[:1])
+        Jbn = jnp.concatenate([Jb_body[1:], zJ], axis=0)
+        hbn = jnp.concatenate([hb_body[1:], zh], axis=0)
+        return out, (P1f, P2f, P3f, Jft, hft, N1f, N2f, Jbn, hbn)
+
+    def fb_bwd(res, cots):
+        P1f, P2f, P3f, Jft, hft, N1f, N2f, Jbn, hbn = res
+        dJf, dhf, dln, dJb, dhb = cots
+        T1 = P2f.shape[0]
+        # Adjoints run as the two SEPARATE kernels by default: measured
+        # on-chip (B=64 T=100 d=10 U=4), the fused forward wins (~10%:
+        # E-step fwd 2.60 -> 2.34 ms) but the fused mixed-direction
+        # adjoint loses slightly (grad 4.13 -> 4.38 ms; its 15-operand
+        # block working set erases the interleaving gain), so only the
+        # forward side is fused.
+        if fused_adj:
+            (dGf, dgf, dP2f, dMf, dJ0, dh0,
+             dGb, dP2b, dMb, dbb) = _fb_adj_call(
+                P2f, P3f, Jft, hft, dJf, dhf, dln,
+                P1f, N1f, N2f, Jbn, hbn, dJb, dhb, d=d, U=U,
+                interpret=interpret)
+        else:
+            dGf, dgf, dP2f, dMf, dJ0, dh0 = _filter_adj_call(
+                P2f, P3f, Jft, hft, dJf, dhf, dln, d=d, U=U,
+                interpret=interpret)
+            dGb, dP2b, dMb, dbb = _backward_adj_call(
+                P1f, P2f, N1f, N2f, Jbn, hbn, dJb, dhb, d=d, U=U,
+                interpret=interpret)
+        # same input-cotangent algebra as filter_bwd + backward_bwd,
+        # summed over the two recursions' shared operands
+        dP1 = -2.0 * dGf - 2.0 * dMb
+        dP2 = dP2f + dP2b
+        dP3 = -2.0 * dMf - 2.0 * dGb
+        dPc = jnp.broadcast_to(dln[None], (T1,) + dln.shape)
+        dN1 = -2.0 * dGf - 2.0 * dMb
+        dN2 = dgf + dbb
+        return (dJ0, dh0, dP1, dP2, dP3, dPc, dN1, dN2)
+
+    fb_prim.defvjp(fb_fwd, fb_bwd)
+
+    return filter_prim, backward_prim, sampler_prim, fb_prim
 
 
 # ==========================================================================
@@ -734,7 +1063,7 @@ def lds_filter(init, pairs, nodes, block_b=128, interpret=False,
     vmapped over the batch (tested)."""
     I1, I2, Ic = init
     packed, B, T, d, Bp = _prep_chain(pairs, nodes, block_b)
-    filter_prim, _, _ = _prims(d, interpret,
+    filter_prim, _, _, _ = _prims(d, interpret,
                                _resolve_unroll(interpret, unroll))
 
     J0 = _pack((-2.0 * (I1[None] + packed["N1_0"]))[:, None], d * d)[0]
@@ -759,7 +1088,7 @@ def lds_backward(pairs, nodes, block_b=128, interpret=False,
     """Backward information filter (beta messages), differentiable:
     (Jb (B,T,d,d), hb (B,T,d)) with zero entries at t = T-1."""
     packed, B, T, d, Bp = _prep_chain(pairs, nodes, block_b)
-    _, backward_prim, _ = _prims(d, interpret,
+    _, backward_prim, _, _ = _prims(d, interpret,
                                  _resolve_unroll(interpret, unroll))
     Jb_body, hb_body = backward_prim(
         packed["P1f"], packed["P2f"], packed["P3f"], packed["N1f"],
@@ -769,6 +1098,40 @@ def lds_backward(pairs, nodes, block_b=128, interpret=False,
     Jb = jnp.concatenate([_unpack(Jb_body, (d, d))[:B], zJ], axis=1)
     hb = jnp.concatenate([_unpack(hb_body, (d,))[:B], zh], axis=1)
     return Jb, hb
+
+
+def fb_pass(init, pairs, nodes, block_b=128, interpret=False,
+            unroll=None, fused_adj=False):
+    """ONE fused kernel pass computing BOTH information filters:
+    returns (logZ (B,), Jf, hf, Jb, hb) -- the union of ``lds_filter``
+    and ``lds_backward`` outputs at half the kernel passes (the two
+    recursions are independent; see ``_fb_fwd_kernel``). Differentiable
+    via the fused adjoint kernel."""
+    I1, I2, Ic = init
+    packed, B, T, d, Bp = _prep_chain(pairs, nodes, block_b)
+    _, _, _, fb_prim = _prims(d, interpret,
+                              _resolve_unroll(interpret, unroll),
+                              fused_adj=fused_adj)
+
+    J0 = _pack((-2.0 * (I1[None] + packed["N1_0"]))[:, None], d * d)[0]
+    h0 = _pack((I2[None] + packed["N2_0"])[:, None], d)[0]
+    Jf_tail, hf_tail, ln, Jb_body, hb_body = fb_prim(
+        J0, h0, packed["P1f"], packed["P2f"], packed["P3f"], packed["Pcf"],
+        packed["N1f"], packed["N2f"])
+
+    Jf0 = jnp.moveaxis(J0, -1, 0).reshape(Bp, 1, d, d)
+    hf0 = jnp.moveaxis(h0, -1, 0)[:, None]
+    Jf = jnp.concatenate([Jf0, _unpack(Jf_tail, (d, d))], axis=1)[:B]
+    hf = jnp.concatenate([hf0, _unpack(hf_tail, (d,))], axis=1)[:B]
+    zJ = jnp.zeros((B, 1, d, d), Jb_body.dtype)
+    zh = jnp.zeros((B, 1, d), hb_body.dtype)
+    Jb = jnp.concatenate([_unpack(Jb_body, (d, d))[:B], zJ], axis=1)
+    hb = jnp.concatenate([_unpack(hb_body, (d,))[:B], zh], axis=1)
+
+    from svae_tpu.utils.psd import mvn_logZ_info
+
+    logZ = ln[0, :B] + Ic + mvn_logZ_info(Jf[:, -1], hf[:, -1])
+    return logZ, Jf, hf, Jb, hb
 
 
 def _smoother_assembly(pairs, nodes, Jf, hf, Jb, hb):
@@ -810,13 +1173,17 @@ def _smoother_assembly(pairs, nodes, Jf, hf, Jb, hb):
 def lds_smoother(init, pairs, nodes, block_b=128, interpret=False,
                  filtered=None, unroll=None):
     """Differentiable smoother: (logZ, Ex, ExxT, Exnxt), batch leading.
-    Pass ``filtered=(logZ, Jf, hf)`` to reuse a filter pass."""
+    Pass ``filtered=(logZ, Jf, hf)`` to reuse a filter pass (the
+    backward filter then runs standalone); otherwise both filters ride
+    ONE fused kernel pass (``fb_pass``)."""
     if filtered is None:
-        filtered = lds_filter(init, pairs, nodes, block_b=block_b,
+        logZ, Jf, hf, Jb, hb = fb_pass(init, pairs, nodes,
+                                       block_b=block_b,
+                                       interpret=interpret, unroll=unroll)
+    else:
+        logZ, Jf, hf = filtered
+        Jb, hb = lds_backward(pairs, nodes, block_b=block_b,
                               interpret=interpret, unroll=unroll)
-    logZ, Jf, hf = filtered
-    Jb, hb = lds_backward(pairs, nodes, block_b=block_b,
-                          interpret=interpret, unroll=unroll)
     Ex, ExxT, Exnxt = _smoother_assembly(pairs, nodes, Jf, hf, Jb, hb)
     return logZ, Ex, ExxT, Exnxt
 
@@ -880,7 +1247,7 @@ def lds_sample(init, pairs, nodes, key, num_samples, block_b=128,
     xTf = _pack(_pad_batch(xT.reshape(SB, 1, d), pad,
                            jnp.zeros((), dt)), d)[0]
 
-    _, _, sampler_prim = _prims(d, interpret,
+    _, _, sampler_prim, _ = _prims(d, interpret,
                                 _resolve_unroll(interpret, unroll))
     xb = sampler_prim(P2f, P3f, Jft, hft, epsf, xTf)
     x_body = _unpack(xb, (d,))[:SB].reshape(S, B, T - 1, d)
@@ -889,18 +1256,17 @@ def lds_sample(init, pairs, nodes, key, num_samples, block_b=128,
 
 def lds_estep(init, pairs, nodes, key, num_samples, block_b=128,
               interpret=False, unroll=None):
-    """Fully differentiable fused E-step on the Pallas kernels: ONE filter
-    pass shared by the smoother assembly and the backward sampler.
+    """Fully differentiable fused E-step on the Pallas kernels: ONE
+    fused forward+backward filter pass (shared by the smoother assembly
+    and, via the forward messages, the backward sampler) + one sampler
+    pass -- two kernel passes forward, two fused adjoint passes backward.
 
     Returns ``(samples (S,B,T,d), (Ex, ExxT, Exnxt), logZ (B,))`` --
     the batch-level contract of ``kalman.lds_inference`` (vmapped), with
     forward and backward passes riding the fused kernels."""
-    filt = lds_filter(init, pairs, nodes, block_b=block_b,
-                      interpret=interpret, unroll=unroll)
-    logZ, Jf, hf = filt
-    _, Ex, ExxT, Exnxt = lds_smoother(init, pairs, nodes, block_b=block_b,
-                                      interpret=interpret, filtered=filt,
-                                      unroll=unroll)
+    logZ, Jf, hf, Jb, hb = fb_pass(init, pairs, nodes, block_b=block_b,
+                                   interpret=interpret, unroll=unroll)
+    Ex, ExxT, Exnxt = _smoother_assembly(pairs, nodes, Jf, hf, Jb, hb)
     samples = lds_sample(init, pairs, nodes, key, num_samples,
                          block_b=block_b, interpret=interpret,
                          filtered=(Jf, hf), unroll=unroll)

@@ -29,8 +29,8 @@ def test_real_small_estep_runs():
 
 
 def test_slds_hmm_cpu_twins_measure():
-    t, c = bench.measure_hmm(B=2, T=10, K=3, iters=2)
-    assert np.isfinite(t) and np.isfinite(c) and t > 0 and c > 0
+    t, x, c = bench.measure_hmm(B=2, T=10, K=3, iters=2)
+    assert all(np.isfinite(v) and v > 0 for v in (t, x, c))
 
 
 def test_speed_of_light_fields():
@@ -48,7 +48,7 @@ def test_main_emits_schema(monkeypatch, capsys):
                         lambda backend: (45.0, 0.1))
     monkeypatch.setattr(bench, "measure_cpu_oracle", lambda: 10.0)
     monkeypatch.setattr(bench, "measure_slds", lambda: (30.0, 2.0, 0.02))
-    monkeypatch.setattr(bench, "measure_hmm", lambda: (500.0, 100.0))
+    monkeypatch.setattr(bench, "measure_hmm", lambda: (500.0, 400.0, 100.0))
     bench.main()
     out = capsys.readouterr().out.strip().splitlines()[-1]
     rec = json.loads(out)

@@ -93,3 +93,45 @@ def test_estep_unroll_bigger_than_T():
     for a, b in zip(jax.tree.leaves(want), jax.tree.leaves(got)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-9, atol=1e-11)
+
+
+@pytest.mark.parametrize("fused_adj", [False, True])
+def test_fb_pass_matches_separate(fused_adj):
+    """The fused forward+backward pass (pallas_vjp.fb_pass) vs the two
+    standalone primitives: values and gradients, both adjoint variants
+    (the fused mixed-direction adjoint kernel stays parity-tested even
+    though the separate adjoints are the production default)."""
+    init, pairs, nodes = _chain(jax.random.PRNGKey(11), B=2, T=7, d=3)
+
+    logZ, Jf, hf, Jb, hb = pallas_vjp.fb_pass(
+        init, pairs, nodes, block_b=BLOCK, interpret=True,
+        fused_adj=fused_adj)
+    logZ_w, Jf_w, hf_w = pallas_vjp.lds_filter(
+        init, pairs, nodes, block_b=BLOCK, interpret=True)
+    Jb_w, hb_w = pallas_vjp.lds_backward(
+        pairs, nodes, block_b=BLOCK, interpret=True)
+    for a, b in zip((logZ_w, Jf_w, hf_w, Jb_w, hb_w),
+                    (logZ, Jf, hf, Jb, hb)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-9, atol=1e-11)
+
+    def loss_fb(init, pairs, nodes):
+        logZ, Jf, hf, Jb, hb = pallas_vjp.fb_pass(
+            init, pairs, nodes, block_b=BLOCK, interpret=True,
+            fused_adj=fused_adj, unroll=2)  # T1=6, U=2: divisible path
+        return (jnp.sum(logZ) + jnp.sum(jnp.sin(Jf)) + jnp.sum(hf ** 2)
+                + jnp.sum(Jb * 0.3) + jnp.sum(jnp.cos(hb)))
+
+    def loss_sep(init, pairs, nodes):
+        logZ, Jf, hf = pallas_vjp.lds_filter(
+            init, pairs, nodes, block_b=BLOCK, interpret=True)
+        Jb, hb = pallas_vjp.lds_backward(
+            pairs, nodes, block_b=BLOCK, interpret=True)
+        return (jnp.sum(logZ) + jnp.sum(jnp.sin(Jf)) + jnp.sum(hf ** 2)
+                + jnp.sum(Jb * 0.3) + jnp.sum(jnp.cos(hb)))
+
+    gf = jax.grad(loss_fb, argnums=(0, 1, 2))(init, pairs, nodes)
+    gs = jax.grad(loss_sep, argnums=(0, 1, 2))(init, pairs, nodes)
+    for a, b in zip(jax.tree.leaves(gs), jax.tree.leaves(gf)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-7, atol=1e-9)
