@@ -71,7 +71,8 @@ def main(argv=None):
         lds.run_inference, recognition.mlp_recognize, decoders.mlp_loglike,
         pgm_prior, N, mesh, Bg, num_samples=tc.num_samples,
         natgrad_scale=tc.natgrad_scale, pgm_step_size=tc.pgm_step_size,
-        net_step_size=tc.net_step_size, donate=False)
+        net_step_size=tc.net_step_size, net_optimizer=tc.net_optimizer,
+        donate=False)
     opt_state = opt_init(pgm_params, net_params)
 
     def global_batch(local_slice):

@@ -72,7 +72,8 @@ def main(argv=None):
         run_inf, recognition.mlp_recognize, decoders.mlp_loglike,
         pgm_prior, N, num_samples=tc.num_samples,
         natgrad_scale=tc.natgrad_scale, pgm_step_size=tc.pgm_step_size,
-        net_step_size=tc.net_step_size, donate=False)
+        net_step_size=tc.net_step_size, net_optimizer=tc.net_optimizer,
+        donate=False)
     opt_state = opt_init(pgm_params, net_params)
 
     pgm_params, net_params, opt_state, hist = experiment.run(

@@ -20,6 +20,7 @@ class TrainConfig:
     num_samples: int = 2
     pgm_step_size: float = 0.5
     net_step_size: float = 1e-3
+    net_optimizer: str = "adam"  # "adam" | "sga" | "adadelta" (optim.py)
     natgrad_scale: float = 1.0
     seed: int = 0
     metrics_every: int = 1  # callback/metrics cadence (device fence period)

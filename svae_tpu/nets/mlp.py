@@ -40,6 +40,33 @@ def mlp(params, x, activation=jnp.tanh):
     return x
 
 
+def init_resnet(key, d_in, width, depth, scale=1.0, dtype=jnp.float32):
+    """Residual hidden stack: an input projection to ``width`` followed by
+    ``depth`` two-layer residual blocks (reference: the resnet_recognize
+    variant of svae/recognition_models.py). Returns
+    ``(proj, ((W1,b1),(W2,b2)) * depth)``; apply with :func:`resnet`."""
+    keys = jax.random.split(key, 2 * depth + 1)
+    proj = init_layer(keys[0], d_in, width, scale, dtype)
+    blocks = tuple(
+        (init_layer(keys[2 * i + 1], width, width, scale, dtype),
+         init_layer(keys[2 * i + 2], width, width, scale, dtype))
+        for i in range(depth)
+    )
+    return (proj, blocks)
+
+
+def resnet(params, x, activation=jnp.tanh):
+    """Apply the residual stack: h = act(proj(x));
+    h <- h + act(W2 act(W1 h + b1) + b2) per block. Identity skips keep
+    gradients well-conditioned at depth (matches the reference's residual
+    recognition variant; the output feeds a Gaussian head)."""
+    (Wp, bp), blocks = params
+    h = activation(x @ Wp + bp)
+    for (W1, b1), (W2, b2) in blocks:
+        h = h + activation(activation(h @ W1 + b1) @ W2 + b2)
+    return h
+
+
 def init_gaussian_head(key, n_in, n_out, scale=1.0, dtype=jnp.float32):
     """Two parallel linear output maps (for the two Gaussian blocks)."""
     k1, k2 = jax.random.split(key)

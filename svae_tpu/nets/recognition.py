@@ -28,6 +28,24 @@ def mlp_recognize(params, data):
     return mlp_lib.gaussian_info_head(head, h)
 
 
+def init_resnet_recognize(key, d_obs, width, depth, d_latent,
+                          dtype=jnp.float32):
+    """Residual-MLP recognizer (reference: the resnet variant of
+    svae/recognition_models.py): identity-skip blocks keep the evidence
+    map well-conditioned at depth."""
+    k1, k2 = jax.random.split(key)
+    stack = mlp_lib.init_resnet(k1, d_obs, width, depth, dtype=dtype)
+    head = mlp_lib.init_gaussian_head(k2, width, d_latent, dtype=dtype)
+    return (stack, head)
+
+
+def resnet_recognize(params, data):
+    """data (..., d_obs) -> (J_diag, h) each (..., d_latent)."""
+    stack, head = params
+    h = mlp_lib.resnet(stack, data)
+    return mlp_lib.gaussian_info_head(head, h)
+
+
 def init_linear_recognize(key, d_obs, d_latent, dtype=jnp.float32):
     return mlp_lib.init_gaussian_mlp(key, (d_obs, d_latent), dtype=dtype)
 

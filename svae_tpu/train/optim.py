@@ -21,6 +21,22 @@ class SVAEOptState(NamedTuple):
     step: jnp.ndarray
 
 
+def get_net_optimizer(name, step_size=1e-3):
+    """Named net-optimizer presets mirroring the reference's optimizer
+    module (reference: svae/optimizers.py -- adam / sga / adadelta):
+    "adam" (default), "sga" (plain gradient ascent), "adadelta".
+    Returns an optax transform for :func:`make_optimizer`."""
+    makers = {
+        "adam": optax.adam,
+        "sga": optax.sgd,
+        "adadelta": lambda lr: optax.adadelta(learning_rate=lr),
+    }
+    if name not in makers:
+        raise ValueError(
+            f"unknown net optimizer {name!r}; one of {sorted(makers)}")
+    return makers[name](step_size)
+
+
 def make_optimizer(net_optimizer=None, pgm_step_size=1.0,
                    net_step_size=1e-3):
     """Returns ``(init, update)``:
@@ -31,11 +47,14 @@ def make_optimizer(net_optimizer=None, pgm_step_size=1.0,
 
     PGM globals: plain ascent along the natural gradient (SGA in natural
     coordinates is natural-gradient SVI, reference: svae/optimizers.py:sga).
-    Nets: any optax transform; grads are ASCENT directions so they are
+    Nets: any optax transform, or a preset name resolved by
+    :func:`get_net_optimizer`; grads are ASCENT directions so they are
     negated before the (descent-convention) optax update.
     """
     if net_optimizer is None:
         net_optimizer = optax.adam(net_step_size)
+    elif isinstance(net_optimizer, str):
+        net_optimizer = get_net_optimizer(net_optimizer, net_step_size)
 
     def init(pgm_params, net_params):
         return SVAEOptState(

@@ -69,3 +69,32 @@ def test_conv_recognize_shapes():
     J, h = recognition.make_conv_recognize((8, 8))(params, data)
     assert J.shape == (2, 5, 3) and h.shape == (2, 5, 3)
     assert np.all(np.asarray(J) > 0)
+
+
+def test_resnet_recognize_shapes_and_grad():
+    key = jax.random.PRNGKey(0)
+    params = recognition.init_resnet_recognize(key, 5, 16, 3, 2,
+                                               dtype=jnp.float64)
+    data = jax.random.normal(jax.random.PRNGKey(1), (3, 11, 5), jnp.float64)
+    J, h = recognition.resnet_recognize(params, data)
+    assert J.shape == (3, 11, 2) and h.shape == (3, 11, 2)
+    assert np.all(np.asarray(J) > 0)
+
+    # gradients reach every block through the identity skips
+    def loss(p):
+        Jd, hv = recognition.resnet_recognize(p, data)
+        return jnp.sum(Jd) + jnp.sum(hv ** 2)
+
+    g = jax.grad(loss)(params)
+    assert all(float(jnp.max(jnp.abs(x))) > 0 for x in jax.tree.leaves(g))
+
+
+def test_resnet_depth_zero_is_projected_head():
+    key = jax.random.PRNGKey(0)
+    stack = mlp.init_resnet(key, 4, 8, 0, dtype=jnp.float64)
+    x = jax.random.normal(jax.random.PRNGKey(1), (6, 4), jnp.float64)
+    out = mlp.resnet(stack, x)
+    (Wp, bp), blocks = stack
+    assert blocks == ()
+    np.testing.assert_allclose(np.asarray(out),
+                               np.tanh(np.asarray(x @ Wp + bp)))

@@ -159,3 +159,30 @@ def test_checkpoint_structure_mismatch_raises(tmp_path):
     with pytest.raises(ValueError):
         ckpt_lib.restore(path, {"b": jnp.zeros(3)})
     assert ckpt_lib.latest(tmp_path, prefix="c") is None
+
+
+def test_named_net_optimizer_presets():
+    """String presets ("sga"/"adadelta"/"adam") resolve inside
+    make_optimizer and one update step moves the net params."""
+    from svae_tpu.train import optim
+    import pytest as _pytest
+
+    pgm = (jnp.ones(3),)
+    net = (jnp.ones((2, 2)), jnp.zeros(2))
+    natgrad = (0.1 * jnp.ones(3),)
+    grads = (jnp.ones((2, 2)), jnp.ones(2))
+    for name in ("adam", "sga", "adadelta"):
+        init, update = optim.make_optimizer(net_optimizer=name,
+                                            net_step_size=1e-2)
+        st = init(pgm, net)
+        new_pgm, new_net, st2 = update(st, pgm, net, natgrad, grads)
+        assert int(st2.step) == 1
+        moved = max(float(jnp.max(jnp.abs(a - b)))
+                    for a, b in zip(jax.tree.leaves(new_net),
+                                    jax.tree.leaves(net)))
+        assert moved > 0, name
+        # ascent direction: pgm moved along +natgrad
+        np.testing.assert_allclose(np.asarray(new_pgm[0]),
+                                   np.asarray(pgm[0] + 0.1))
+    with _pytest.raises(ValueError):
+        optim.get_net_optimizer("nope")
