@@ -416,6 +416,29 @@ def sample_states(global_natparam, nn_potentials, key, num_samples=(),
                           parallel=parallel)
 
 
+@f32_linalg
+def most_likely_states(global_natparam, nn_potentials,
+                       num_meanfield_iters=15, parallel=False):
+    """MAP discrete-state path under the converged structured mean-field
+    q(z) (Viterbi decode of the HMM factor with the state-averaged Gaussian
+    pair energies as observations) -- the eval-side segmentation API
+    (reference: the SLDS experiments' state-sequence plots). Returns an
+    int32 path (T,); ``vmap`` for a batch."""
+    hmm_post, lds_post, _ = local_meanfield(
+        global_natparam, nn_potentials, num_iters=num_meanfield_iters,
+        num_diff_iters=0, parallel=parallel)
+    _, _, (Ex, ExxT, Exnxt) = lds_post
+    init_dir, trans_dir, _, mniw_np = global_natparam
+    e_pi0 = dirichlet.expectedstats(init_dir)
+    e_Pi = dirichlet.expectedstats(trans_dir)
+    E_pair = mniw.expected_pair_potential(mniw_np)
+    L = _pair_energies(E_pair, _x_pair_stats(Ex, ExxT, Exnxt))
+    K = e_pi0.shape[0]
+    log_obs = jnp.concatenate([jnp.zeros((1, K), L.dtype), L], axis=0)
+    path, _ = hmm.hmm_viterbi(e_pi0, e_Pi, log_obs, parallel=parallel)
+    return path
+
+
 def run_inference(prior_natparam, global_natparam, nn_potentials, key,
                   num_samples=1, num_meanfield_iters=15, num_diff_iters=1,
                   parallel=False, backend="xla", interpret=False):

@@ -176,6 +176,50 @@ def hmm_posterior(log_init, log_trans, log_obs, parallel=False):
     return logZ, node, jnp.sum(pair, axis=0), node[0]
 
 
+def hmm_viterbi(log_init, log_trans, log_obs, parallel=False):
+    """MAP state path (Viterbi decode) by max-plus message passing:
+    ``(path int32 (T,), score)`` with ``score = max_z log p(z, y)`` up to
+    the observation normalizer (reference: the max-product counterpart of
+    svae/hmm/hmm_inference.py's sum-product recursion; same chain-element
+    layout as :func:`hmm_logZ`).
+
+    The traceback needs no stored backpointers: with all forward max-plus
+    messages delta_t kept, ``z_t = argmax_i delta_t(i) + M_t(i, z_{t+1})``
+    re-derives them, so the ``parallel=True`` flavor can compute delta by
+    an O(log T)-span max-plus associative scan (the tropical-semiring twin
+    of the logsumexp scan) and share the same cheap traceback."""
+    assert log_obs.ndim == 2, "hmm_viterbi expects unbatched log_obs; vmap it"
+    T, K = log_obs.shape
+    d0 = log_init + log_obs[0]
+    M = _elements(log_trans, log_obs)  # (T-1, K, K)
+    if parallel:
+        def maxplus(a, b):
+            return jnp.max(a[..., :, :, None] + b[..., None, :, :], axis=-2)
+
+        prefix = jax.lax.associative_scan(maxplus, M, axis=0)
+        delta_rest = jnp.max(d0[None, :, None] + prefix, axis=1)
+        delta = jnp.concatenate([d0[None], delta_rest], axis=0)  # (T, K)
+    else:
+        def step(d, m):
+            d = jnp.max(d[:, None] + m, axis=0)
+            return d, d
+
+        _, delta_rest = jax.lax.scan(step, d0, M)
+        delta = jnp.concatenate([d0[None], delta_rest], axis=0)
+
+    zT = jnp.argmax(delta[-1])
+    score = delta[-1, zT]
+
+    def bstep(z_next, inp):
+        d_t, m_t = inp
+        z = jnp.argmax(d_t + m_t[:, z_next])
+        return z, z
+
+    _, zs = jax.lax.scan(bstep, zT, (delta[:-1], M), reverse=True)
+    path = jnp.concatenate([zs, zT[None]], axis=0).astype(jnp.int32)
+    return path, score
+
+
 def hmm_sample(log_init, log_trans, log_obs, key, num_samples=(), parallel=False):
     """Posterior path samples z_{1:T} via backward filtering + forward
     sampling with Gumbel argmax (discrete; no reparameterization).

@@ -123,3 +123,52 @@ def test_hmm_posterior_matches_grad_marginals():
                                    atol=1e-10)
         np.testing.assert_allclose(np.asarray(r1_d), np.asarray(r1_g),
                                    atol=1e-10)
+
+
+class TestViterbi:
+    def _brute(self, log_init, log_trans, log_obs):
+        import itertools
+        T, K = log_obs.shape
+        li, lt, lo = (np.asarray(x) for x in (log_init, log_trans, log_obs))
+        tv = lt.ndim == 3
+        best, best_path = -np.inf, None
+        for path in itertools.product(range(K), repeat=T):
+            s = li[path[0]] + lo[0, path[0]]
+            for t in range(T - 1):
+                A = lt[t] if tv else lt
+                s += A[path[t], path[t + 1]] + lo[t + 1, path[t + 1]]
+            if s > best:
+                best, best_path = s, path
+        return np.array(best_path), best
+
+    def test_matches_brute_force(self, parallel):
+        args = make_hmm(T=6, K=3, seed=0)
+        want_path, want_score = self._brute(*args)
+        path, score = hmm.hmm_viterbi(*args, parallel=parallel)
+        np.testing.assert_allclose(float(score), want_score, rtol=1e-10)
+        np.testing.assert_array_equal(np.asarray(path), want_path)
+
+    def test_time_varying(self, parallel):
+        args = make_hmm(T=5, K=3, seed=3, time_varying=True)
+        want_path, want_score = self._brute(*args)
+        path, score = hmm.hmm_viterbi(*args, parallel=parallel)
+        np.testing.assert_allclose(float(score), want_score, rtol=1e-10)
+        np.testing.assert_array_equal(np.asarray(path), want_path)
+
+    def test_path_achieves_score(self, parallel):
+        """On a bigger chain (no brute force): the returned path's joint
+        log-potential equals the returned score, and beats random paths."""
+        li, lt, lo = make_hmm(T=40, K=4, seed=1)
+        path, score = hmm.hmm_viterbi(li, lt, lo, parallel=parallel)
+        p = np.asarray(path)
+        s = float(li[p[0]] + lo[0, p[0]])
+        for t in range(len(p) - 1):
+            s += float(lt[p[t], p[t + 1]] + lo[t + 1, p[t + 1]])
+        np.testing.assert_allclose(s, float(score), rtol=1e-6)
+        rng = np.random.RandomState(0)
+        for _ in range(20):
+            q = rng.randint(0, 4, size=len(p))
+            sq = float(li[q[0]] + lo[0, q[0]])
+            for t in range(len(q) - 1):
+                sq += float(lt[q[t], q[t + 1]] + lo[t + 1, q[t + 1]])
+            assert sq <= s + 1e-9

@@ -169,3 +169,26 @@ def test_pallas_backend_matches_xla_backend():
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-8),
         g_p, g_x)
+
+
+def test_most_likely_states_valid_and_consistent():
+    """most_likely_states returns an int path in range; in a sharply
+    determined posterior it agrees with the node-marginal argmax."""
+    from svae_tpu.models import slds as slds_mod
+
+    K, d, T = 3, 2, 12
+    key = jax.random.PRNGKey(0)
+    glob = slds_mod.init_pgm_param(key, K, d)
+    J = jax.nn.softplus(jax.random.normal(jax.random.PRNGKey(1), (T, d))) + 0.5
+    h = 3.0 * jax.random.normal(jax.random.PRNGKey(2), (T, d))
+    path = slds_mod.most_likely_states(glob, (J, h), num_meanfield_iters=8)
+    assert path.shape == (T,) and path.dtype == jnp.int32
+    assert int(path.min()) >= 0 and int(path.max()) < K
+
+    hmm_post, _, _ = slds_mod.local_meanfield(glob, (J, h), num_iters=8,
+                                              num_diff_iters=0)
+    _, r, _, _ = hmm_post
+    # Viterbi and marginal argmax agree wherever the marginal is decisive
+    decisive = np.asarray(r.max(axis=-1)) > 0.9
+    agree = np.asarray(path) == np.asarray(jnp.argmax(r, axis=-1))
+    assert np.all(agree[decisive])
