@@ -21,12 +21,16 @@ from svae_tpu.train import loop as loop_lib
 from svae_tpu.train import experiment
 
 
-def make_switching_dot_data(seed, num_seqs, T, image_width):
+def make_switching_dot_data(seed, num_seqs, T, image_width,
+                            return_states=False):
     """Dot sequences whose velocity regime switches on a Markov schedule --
-    ground truth has genuinely switching linear dynamics."""
+    ground truth has genuinely switching linear dynamics. With
+    ``return_states`` also returns the true regime path (num_seqs, T)
+    int32 for segmentation scoring."""
     rng = np.random.RandomState(seed)
     xs = np.arange(image_width)
     out = np.empty((num_seqs, T, image_width), np.float32)
+    states = np.empty((num_seqs, T), np.int32)
     speeds = [0.1, 0.6]
     for s in range(num_seqs):
         pos = rng.uniform(2, image_width - 2)
@@ -35,13 +39,27 @@ def make_switching_dot_data(seed, num_seqs, T, image_width):
         for t in range(T):
             if rng.rand() < 0.05:
                 regime = 1 - regime
+            states[s, t] = regime
             pos += direction * speeds[regime]
             if pos < 1 or pos > image_width - 2:
                 direction = -direction
                 pos = np.clip(pos, 1, image_width - 2)
             out[s, t] = np.exp(-0.5 * ((xs - pos) / 1.5) ** 2)
     out += 0.05 * rng.randn(*out.shape)
-    return out.astype(np.float32)
+    out = out.astype(np.float32)
+    return (out, states) if return_states else out
+
+
+def segmentation_purity(pred, true):
+    """Map each predicted discrete state to its majority true regime and
+    score the fraction of frames explained (label-permutation-invariant;
+    the eval the reference's SLDS experiments did by eye)."""
+    pred, true = np.asarray(pred).ravel(), np.asarray(true).ravel()
+    correct = 0
+    for k in np.unique(pred):
+        m = pred == k
+        correct += np.bincount(true[m]).max()
+    return correct / pred.size
 
 
 def main(argv=None):
@@ -50,8 +68,9 @@ def main(argv=None):
     key = jax.random.PRNGKey(tc.seed)
     k1, k2, k3, k4 = jax.random.split(key, 4)
 
-    data = jnp.asarray(make_switching_dot_data(
-        tc.seed, cfg.num_seqs, cfg.T, cfg.image_width))
+    data_np, true_states = make_switching_dot_data(
+        tc.seed, cfg.num_seqs, cfg.T, cfg.image_width, return_states=True)
+    data = jnp.asarray(data_np)
     N = data.shape[0]
 
     pgm_prior = slds.init_pgm_param(k1, cfg.K, cfg.d_latent)
@@ -84,6 +103,16 @@ def main(argv=None):
               f"last_elbo={hist[-1]:.4f}")
     else:
         print("steps=0 (already at the target epoch count)")
+
+    # MAP segmentation of a held-out-ish probe batch vs the true regimes
+    n_probe = min(8, N)
+    pots = recognition.mlp_recognize(net_params[0], data[:n_probe])
+    decode = jax.jit(jax.vmap(lambda p: slds.most_likely_states(
+        pgm_params, p, num_meanfield_iters=cfg.meanfield_iters)))
+    paths = decode(pots)
+    purity = segmentation_purity(paths, true_states[:n_probe])
+    print(f"segmentation_purity={purity:.3f} (K={cfg.K} states vs 2 true "
+          f"regimes, {n_probe} seqs)")
     return hist
 
 
