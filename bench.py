@@ -187,9 +187,10 @@ def measure_slds(B=16, T=50, K=4, d_latent=3, num_iters=10, iters=10):
     J = jax.nn.softplus(jax.random.normal(k1, (B, T, d_latent))) + 0.5
     h = jax.random.normal(k2, (B, T, d_latent))
 
+    bk = "pallas" if jax.default_backend() == "tpu" else "xla"
     f = jax.jit(lambda pots, k: slds.run_inference(
         glob, glob, pots, k, num_samples=2, num_meanfield_iters=num_iters,
-        backend="pallas"))
+        backend=bk))
     out = f((J, h), jax.random.PRNGKey(1))
     jax.block_until_ready(out)
 
@@ -318,9 +319,23 @@ def speed_of_light(step_dt, B=64, T=100, d=10, S=2, block_b=128):
 
 
 def main():
+    import jax
+
+    # Safety net: if the TPU tunnel is unreachable (axon backend init
+    # fails) fall back to CPU + the XLA backend so the bench still emits
+    # its JSON line (clearly labeled) instead of dying before the metric.
+    try:
+        device = jax.devices()[0]
+        on_tpu = device.platform == "tpu"
+    except Exception:
+        jax.config.update("jax_platforms", "cpu")
+        device = jax.devices()[0]
+        on_tpu = False
+    backend = "pallas" if on_tpu else "xla"
+
     result = {}
-    train_seqs, step_dt = measure_tpu_steps("pallas")
-    estep_seqs = measure_tpu_estep("pallas")
+    train_seqs, step_dt = measure_tpu_steps(backend)
+    estep_seqs = measure_tpu_estep(backend)
     cpu_seqs = measure_cpu_oracle()
     result = {
         # the BASELINE.json metric pair: E-step seqs/sec (chip, production
@@ -334,6 +349,8 @@ def main():
         "train_step_seqs_per_sec": round(train_seqs, 2),
         "train_step_ms": round(step_dt * 1e3, 3),
         "cpu_estep_seqs_per_sec": round(cpu_seqs, 2),
+        "device": str(device),
+        "backend": backend,
     }
     try:
         xla_train, _ = measure_tpu_steps("xla")
@@ -343,8 +360,8 @@ def main():
     try:
         # full-lane throughput point: B=64 only half-fills the 128-lane
         # kernel layout (and per-chip throughput keeps scaling to B=256)
-        tr256, _ = measure_tpu_steps("pallas", B=256)
-        es256 = measure_tpu_estep("pallas", B=256)
+        tr256, _ = measure_tpu_steps(backend, B=256)
+        es256 = measure_tpu_estep(backend, B=256)
         result["train_step_b256_seqs_per_sec"] = round(tr256, 2)
         result["estep_b256_seqs_per_sec"] = round(es256, 2)
     except Exception:
