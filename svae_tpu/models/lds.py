@@ -270,6 +270,72 @@ def posterior_moments(global_natparam, nn_potentials, parallel=False):
 
 
 @f32_linalg
+def make_online_filter(global_natparam, dtype=jnp.float32):
+    """Streaming (serving-side) filter: consume one frame's recognition
+    potentials at a time, emit the filtered posterior and the incremental
+    predictive log-evidence ``log p(y_t | y_{1:t-1})`` (an online surprise
+    / anomaly score). Greenfield vs the reference (which is batch-only);
+    built on the same chain-element algebra as the batch filter
+    (ops/kalman.py), so it matches ``lds_filter`` exactly (tested).
+
+    Returns ``(init_fn, step_fn)``:
+
+      state, (mean, cov, logev) = init_fn((J_diag_1, h_1))   # frame 1
+      state, (mean, cov, logev) = step_fn(state, (J_diag_t, h_t))
+
+    ``(J_diag_t, h_t)`` are one frame's diagonal evidence potentials,
+    shape (d,). ``jax.vmap`` both functions for a batch of streams; wrap
+    ``step_fn`` in ``jax.lax.scan`` to replay a stored sequence.
+    """
+    from svae_tpu.utils import smallchol
+    from svae_tpu.utils.psd import symmetrize
+
+    init, pairs = expected_chain_potentials(global_natparam, 2, dtype=dtype)
+    I1, I2, Ic = init
+    P1, P2, P3, Pc = (p[0] for p in pairs)  # homogeneous single-step pair
+
+    def _mean_cov(J, h):
+        L = smallchol.chol(symmetrize(J))
+        mean = smallchol.cho_solve(L, h)
+        cov = smallchol.cho_solve_mat(L, jnp.eye(J.shape[-1], dtype=J.dtype))
+        return mean, symmetrize(cov)
+
+    def _node(potentials):
+        J_diag, h = potentials
+        return -0.5 * jnp.diag(J_diag), h
+
+    def init_fn(potentials):
+        n1, n2 = _node(potentials)
+        J = -2.0 * (I1 + n1)
+        h = I2 + n2
+        c = Ic
+        logZ = kalman._gauss_logZ_info(J, h, c)
+        mean, cov = _mean_cov(J, h)
+        return (J, h, c, logZ), (mean, cov, logZ)
+
+    def step_fn(state, potentials):
+        J, h, c, logZ_prev = state
+        n1, n2 = _node(potentials)
+        # one chain leaf over (x_t, x_{t+1}) owning node t+1, with the
+        # running filtered potential folded into its (J11, h1, c) slots
+        # (exactly build_leaves' ownership, ops/kalman.py)
+        e = (
+            -2.0 * P3 + J,
+            -jnp.swapaxes(P2, -1, -2),
+            -2.0 * (P1 + n1),
+            h,
+            n2,
+            Pc + c,
+        )
+        Jn, hn, cn = kalman.marginalize_first(e)
+        logZ = kalman._gauss_logZ_info(Jn, hn, cn)
+        mean, cov = _mean_cov(Jn, hn)
+        return (Jn, hn, cn, logZ), (mean, cov, logZ - logZ_prev)
+
+    return init_fn, step_fn
+
+
+@f32_linalg
 def predict(global_natparam, nn_potentials, key, num_steps, num_samples=1,
             parallel=False):
     """Forecast: condition on an observed prefix (via the recognition

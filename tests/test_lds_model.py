@@ -171,3 +171,52 @@ def test_pallas_backend_unbatched():
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-7, atol=1e-9), st, st2)
     np.testing.assert_allclose(float(lkl), float(lkl2), rtol=1e-8)
+
+
+def test_online_filter_matches_batch_filter():
+    """Streaming init/step replay of a sequence == batch lds_filter:
+    same filtered moments at every t, and the per-frame predictive
+    log-evidence increments sum to the chain logZ."""
+    from svae_tpu.models import lds as lds_mod
+    from svae_tpu.ops import kalman
+    from svae_tpu.utils import smallchol
+    from svae_tpu.utils.psd import symmetrize
+
+    d, T = 3, 9
+    key = jax.random.PRNGKey(0)
+    glob = lds_mod.init_pgm_param(key, d)
+    J_diag = jax.nn.softplus(
+        jax.random.normal(jax.random.PRNGKey(1), (T, d))) + 0.5
+    h = jax.random.normal(jax.random.PRNGKey(2), (T, d))
+    dt = h.dtype
+
+    init_fn, step_fn = lds_mod.make_online_filter(glob, dtype=dt)
+    state, out0 = init_fn((J_diag[0], h[0]))
+    outs = [out0]
+    for t in range(1, T):
+        state, out = step_fn(state, (J_diag[t], h[t]))
+        outs.append(out)
+    means = np.stack([np.asarray(o[0]) for o in outs])
+    logevs = np.array([float(o[2]) for o in outs])
+
+    init, pairs = lds_mod.expected_chain_potentials(glob, T, dtype=dt)
+    nodes = lds_mod._node_potentials((J_diag, h))
+    logZ, Jf, hf = kalman.lds_filter(init, pairs, nodes)
+    want_means = np.stack([
+        np.asarray(smallchol.cho_solve(smallchol.chol(symmetrize(Jf[t])),
+                                       hf[t])) for t in range(T)])
+
+    np.testing.assert_allclose(means, want_means, rtol=1e-8, atol=1e-9)
+    np.testing.assert_allclose(logevs.sum(), float(logZ), rtol=1e-9)
+
+    # scan replay gives the same trajectory as the python loop
+    state0, out0b = init_fn((J_diag[0], h[0]))
+    _, scanned = jax.lax.scan(step_fn, state0, (J_diag[1:], h[1:]))
+    np.testing.assert_allclose(np.asarray(scanned[0]), means[1:], rtol=1e-8,
+                               atol=1e-9)
+
+    # covariances are PSD and match the filtered precisions
+    for t in (0, T - 1):
+        cov = np.asarray(outs[t][1])
+        Jt = np.asarray(symmetrize(Jf[t]))
+        np.testing.assert_allclose(cov @ Jt, np.eye(d), atol=1e-6)
