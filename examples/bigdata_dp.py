@@ -87,17 +87,24 @@ def main(argv=None):
     p, n, s = pgm_params, net_params, opt_state
     step = 0
     t0 = time.perf_counter()
+    # metrics fence the device; fetch them every metrics_every steps so
+    # dispatches chain in between (same policy as train.loop.run -- a
+    # per-step sync costs ~25 ms over a tunneled device, more than the
+    # step itself)
+    every = max(1, tc.metrics_every)
     for epoch in range(tc.num_epochs):
         for b in range(num_batches):
             batch = global_batch(data[b * B_local:(b + 1) * B_local])
             key, k = jax.random.split(key)
             p, n, s, e, terms = train_step(p, n, s, batch, k)
-            hist.append(float(e))
-            writer.write(step, elbo=hist[-1],
-                         **{kk: float(v) for kk, v in terms.items()})
+            hist.append(e)  # device scalar -- no host sync
             step += 1
+            if step % every == 0:
+                writer.write(step - 1, elbo=float(e),
+                             **{kk: float(v) for kk, v in terms.items()})
     jax.block_until_ready(e)
     dt = time.perf_counter() - t0
+    hist = [float(v) for v in jax.device_get(hist)]
     multihost.assert_replicated_consistent(p, mesh)
     writer.close()
     print(f"steps={len(hist)} first_elbo={hist[0]:.4f} "
