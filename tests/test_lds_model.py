@@ -220,3 +220,33 @@ def test_online_filter_matches_batch_filter():
         cov = np.asarray(outs[t][1])
         Jt = np.asarray(symmetrize(Jf[t]))
         np.testing.assert_allclose(cov @ Jt, np.eye(d), atol=1e-6)
+
+
+def test_online_filter_long_stream_stable():
+    """10k-frame stream: filtered precision converges to a steady state
+    (Riccati fixed point) and stays PSD -- no f32-style drift in the
+    update algebra (run in the suite's f64, the drift check is algebraic)."""
+    from svae_tpu.models import lds as lds_mod
+
+    d = 3
+    glob = lds_mod.init_pgm_param(jax.random.PRNGKey(0), d)
+    init_fn, step_fn = lds_mod.make_online_filter(glob, dtype=jnp.float64)
+    J_diag = jnp.full((d,), 1.3, jnp.float64)
+    hv = jnp.zeros((d,), jnp.float64)
+    state, _ = init_fn((J_diag, hv))
+
+    def body(state, _):
+        state, (mean, cov, inc) = step_fn(state, (J_diag, hv))
+        return state, (state[0], inc)
+
+    state, (Js, incs) = jax.lax.scan(body, state, None, length=10_000)
+    Js = np.asarray(Js)
+    # steady state: last two precisions identical to tight tolerance
+    np.testing.assert_allclose(Js[-1], Js[-2], rtol=1e-10)
+    # PSD throughout the tail
+    w = np.linalg.eigvalsh(Js[-1])
+    assert w.min() > 0
+    # per-frame log-evidence converges to a constant rate
+    incs = np.asarray(incs)
+    np.testing.assert_allclose(incs[-1], incs[-2], rtol=1e-10)
+    assert np.all(np.isfinite(incs))
