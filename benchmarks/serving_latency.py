@@ -1,0 +1,80 @@
+"""Serving-side benchmark: streaming online-filter step throughput.
+
+Measures `models/lds.make_online_filter` driven the way a serving process
+would: a batch of independent streams advanced one frame per dispatch
+(`jax.vmap(step_fn)` under jit), timed as chained async dispatches fenced
+once. Reports per-dispatch latency (the interactive serving number) and
+aggregate frames/sec. Also times a 1-stream step for the single-session
+latency floor.
+
+Usage:  /opt/venv/bin/python benchmarks/serving_latency.py
+Writes benchmarks/out/serving_latency.json.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+D = 10
+ITERS = 50
+
+
+def measure(n_streams, key):
+    from svae_tpu.models import lds
+
+    glob = lds.init_pgm_param(jax.random.PRNGKey(0), D)
+    init_fn, step_fn = lds.make_online_filter(glob)
+    k1, k2 = jax.random.split(key)
+    if n_streams == 1:
+        Jd = jax.nn.softplus(jax.random.normal(k1, (D,))) + 0.5
+        hv = jax.random.normal(k2, (D,))
+        state, _ = jax.jit(init_fn)((Jd, hv))
+        step = jax.jit(step_fn)
+    else:
+        Jd = jax.nn.softplus(jax.random.normal(k1, (n_streams, D))) + 0.5
+        hv = jax.random.normal(k2, (n_streams, D))
+        state, _ = jax.jit(jax.vmap(init_fn))((Jd, hv))
+        step = jax.jit(jax.vmap(step_fn))
+
+    state, out = step(state, (Jd, hv))  # warm the cache
+    jax.block_until_ready(out)
+
+    dts = []
+    for _ in range(2):
+        s = state
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            s, out = step(s, (Jd, hv))
+        jax.block_until_ready(out)
+        dts.append((time.perf_counter() - t0) / ITERS)
+    dt = max(dts)
+    assert bool(np.isfinite(float(jnp.sum(out[0]))))
+    return dt
+
+
+def main():
+    report = {"device": str(jax.devices()[0]),
+              "on_tpu": jax.devices()[0].platform == "tpu", "d": D}
+    for n in (1, 128, 1024):
+        dt = measure(n, jax.random.PRNGKey(n))
+        report[f"streams_{n}_step_us"] = round(dt * 1e6, 1)
+        report[f"streams_{n}_frames_per_sec"] = round(n / dt, 1)
+        print(f"{n} streams: {dt * 1e6:.1f} us/dispatch, "
+              f"{n / dt:,.0f} frames/s", flush=True)
+
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "out")
+    os.makedirs(out, exist_ok=True)
+    with open(os.path.join(out, "serving_latency.json"), "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps(report), flush=True)
+
+
+if __name__ == "__main__":
+    main()
