@@ -52,8 +52,25 @@ def main(argv=None):
         donate=False)
     opt_state = opt_init(pgm_params, net_params)
 
+    snapshots = []
+    extra_callback = None
+    if tc.animate_path:
+        import numpy as _np
+
+        def extra_callback(step, elbo, state, terms):
+            pgm, net, _ = state
+            J, h = recognition.mlp_recognize(net[0], data)
+            snapshots.append((_np.asarray(h / J),
+                              jax.tree.map(_np.asarray, pgm), step))
+
     pgm_params, net_params, opt_state, hist = experiment.run(
-        tc, train_step, pgm_params, net_params, opt_state, data)
+        tc, train_step, pgm_params, net_params, opt_state, data,
+        extra_callback=extra_callback)
+
+    if tc.animate_path and snapshots:
+        from svae_tpu.utils import plotting
+        plotting.animate_gmm_clusters(tc.animate_path, snapshots)
+        print(f"wrote {tc.animate_path} ({len(snapshots)} frames)")
 
     if tc.plot_path:
         from svae_tpu.utils import plotting

@@ -30,6 +30,7 @@ class TrainConfig:
     profile_dir: Optional[str] = None
     debug_nans: bool = False
     plot_path: Optional[str] = None  # write a PNG summary after training
+    animate_path: Optional[str] = None  # GIF of training snapshots (GMM)
 
 
 @dataclass

@@ -15,21 +15,18 @@ def _plt():
     return plt
 
 
-def plot_gmm_clusters(path, data, global_natparam, recogn_latents=None):
-    """Scatter the 2D data colored by most-likely cluster plus 2-sigma
-    ellipses of each cluster's expected Gaussian (the README-gif view)."""
+def _gmm_moments(global_natparam):
     from svae_tpu.expfam import niw, dirichlet, gaussian
-    import jax.numpy as jnp
 
-    plt = _plt()
     dir_np, niw_np = global_natparam
-    (E1, E2), const = niw.expected_gaussian_natparam(niw_np)
+    (E1, E2), _ = niw.expected_gaussian_natparam(niw_np)
     mu = np.asarray(gaussian.natural_to_standard((E1, E2))[0])
     Sigma = np.asarray(gaussian.natural_to_standard((E1, E2))[1])
     weights = np.exp(np.asarray(dirichlet.expectedstats(dir_np)))
-    weights = weights / weights.sum()
+    return mu, Sigma, weights / weights.sum()
 
-    fig, ax = plt.subplots(figsize=(5, 5))
+
+def _draw_gmm(ax, data, mu, Sigma, weights):
     ax.scatter(data[:, 0], data[:, 1], s=4, alpha=0.4, c="gray")
     t = np.linspace(0, 2 * np.pi, 64)
     circ = np.stack([np.cos(t), np.sin(t)])
@@ -40,8 +37,37 @@ def plot_gmm_clusters(path, data, global_natparam, recogn_latents=None):
         e = mu[k][:, None] + 2.0 * L @ circ
         ax.plot(e[0], e[1], lw=1.5)
         ax.scatter(*mu[k], marker="x")
+
+
+def plot_gmm_clusters(path, data, global_natparam, recogn_latents=None):
+    """Scatter the 2D data colored by most-likely cluster plus 2-sigma
+    ellipses of each cluster's expected Gaussian (the README-gif view)."""
+    plt = _plt()
+    mu, Sigma, weights = _gmm_moments(global_natparam)
+    fig, ax = plt.subplots(figsize=(5, 5))
+    _draw_gmm(ax, data, mu, Sigma, weights)
     ax.set_title("GMM-SVAE latent clusters")
     fig.savefig(path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+
+
+def animate_gmm_clusters(path, snapshots, fps=4):
+    """Training animation: one frame per snapshot ``(latents, natparam,
+    step)`` -- the reference's live matplotlib animation (the README gif;
+    reference: experiments/gmm_svae_synth.py callback) written as a GIF
+    after training instead of during it (headless-safe)."""
+    from matplotlib.animation import PillowWriter
+
+    plt = _plt()
+    fig, ax = plt.subplots(figsize=(5, 5))
+    writer = PillowWriter(fps=fps)
+    with writer.saving(fig, path, dpi=90):
+        for latents, natparam, step in snapshots:
+            ax.clear()
+            mu, Sigma, weights = _gmm_moments(natparam)
+            _draw_gmm(ax, latents, mu, Sigma, weights)
+            ax.set_title(f"GMM-SVAE latent clusters (step {step})")
+            writer.grab_frame()
     plt.close(fig)
 
 
