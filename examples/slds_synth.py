@@ -113,6 +113,10 @@ def main(argv=None):
     purity = segmentation_purity(paths, true_states[:n_probe])
     print(f"segmentation_purity={purity:.3f} (K={cfg.K} states vs 2 true "
           f"regimes, {n_probe} seqs)")
+    if tc.plot_path:
+        from svae_tpu.utils import plotting
+        plotting.plot_slds_segmentation(tc.plot_path, paths,
+                                        true_states[:n_probe])
     return hist
 
 

@@ -94,3 +94,27 @@ def plot_lds_reconstruction(path, seq_true, seq_pred):
         ax.set_xlabel("t")
     fig.savefig(path, dpi=120, bbox_inches="tight")
     plt.close(fig)
+
+
+def plot_slds_segmentation(path, pred_paths, true_paths=None):
+    """Discrete-state segmentation strips: one row per sequence, color =
+    MAP state (``models/slds.most_likely_states``); optionally a second
+    panel with the true regimes (reference: the SLDS experiments'
+    state-sequence figures)."""
+    plt = _plt()
+    pred = np.asarray(pred_paths)
+    n = 2 if true_paths is not None else 1
+    fig, axes = plt.subplots(n, 1, figsize=(7, 1.2 * n + 1.2),
+                             squeeze=False)
+    axes[0][0].imshow(pred, aspect="auto", interpolation="nearest",
+                      cmap="tab10")
+    axes[0][0].set_title("MAP discrete states (Viterbi)")
+    axes[0][0].set_ylabel("sequence")
+    if true_paths is not None:
+        axes[1][0].imshow(np.asarray(true_paths), aspect="auto",
+                          interpolation="nearest", cmap="tab10")
+        axes[1][0].set_title("true regimes")
+        axes[1][0].set_ylabel("sequence")
+        axes[1][0].set_xlabel("t")
+    fig.savefig(path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
