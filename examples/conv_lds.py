@@ -81,6 +81,19 @@ def main(argv=None):
               f"last_elbo={hist[-1]:.4f}")
     else:
         print("steps=0 (already at the target epoch count)")
+
+    if tc.plot_path:
+        import numpy as np
+        from svae_tpu.utils import plotting
+        seq = data[:1]
+        recog = recognition.make_conv_recognize(cfg.frame_hw)
+        pots = recog(net_params[0], seq)
+        samples, _, _, _ = lds.run_inference(
+            pgm_prior, pgm_params, pots, jax.random.PRNGKey(1), 1,
+            backend=cfg.backend)
+        mu, _ = decoders.mlp_decode(net_params[1], samples[0, 0])
+        plotting.plot_frame_montage(tc.plot_path, np.asarray(seq[0]),
+                                    np.asarray(mu), cfg.frame_hw)
     return hist
 
 

@@ -118,3 +118,27 @@ def plot_slds_segmentation(path, pred_paths, true_paths=None):
         axes[1][0].set_xlabel("t")
     fig.savefig(path, dpi=120, bbox_inches="tight")
     plt.close(fig)
+
+
+def plot_frame_montage(path, frames_true, frames_pred, hw, num_frames=10):
+    """Two-row montage of 2D frames (true on top, reconstruction below),
+    evenly subsampled in time -- the conv-LDS experiment view. ``frames_*``
+    are (T, H*W); ``hw`` = (H, W)."""
+    plt = _plt()
+    H, W = hw
+    T = frames_true.shape[0]
+    idx = np.linspace(0, T - 1, num_frames).astype(int)
+    fig, axes = plt.subplots(2, num_frames,
+                             figsize=(1.1 * num_frames, 2.6))
+    for col, t in enumerate(idx):
+        for row, fr in enumerate((frames_true, frames_pred)):
+            ax = axes[row][col]
+            ax.imshow(np.asarray(fr[t]).reshape(H, W), cmap="gray_r",
+                      interpolation="nearest")
+            ax.set_xticks([]); ax.set_yticks([])
+            if row == 0:
+                ax.set_title(f"t={t}", fontsize=7)
+    axes[0][0].set_ylabel("true", fontsize=8)
+    axes[1][0].set_ylabel("recon", fontsize=8)
+    fig.savefig(path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
