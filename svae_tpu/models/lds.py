@@ -93,13 +93,89 @@ def _node_potentials(nn_potentials):
 
 
 # --------------------------------------------------------------------------
+# masking (missing observations / ragged batches)
+# --------------------------------------------------------------------------
+
+
+def mask_potentials(nn_potentials, mask):
+    """Zero the recognition evidence at masked-out frames.
+
+    ``mask`` is (T,) or (B, T), boolean or {0,1} float; frames where it is
+    falsy contribute NO evidence to the posterior. Because the chain kernels
+    work in information form, a zero node potential is exactly "this frame
+    is unobserved": the smoother marginalizes the latent state through the
+    dynamics prior there. Static shapes are preserved, so every backend
+    (sequential / associative / chunked XLA scans, fused Pallas kernels)
+    handles missing data with no kernel changes -- the TPU-native answer to
+    irregular sampling and ragged minibatches (pad + mask, never dynamic
+    shapes). Greenfield vs the reference (dense-evidence only).
+    """
+    J_diag, h = nn_potentials
+    m = jnp.asarray(mask, h.dtype)[..., None]
+    return (J_diag * m, h * m)
+
+
+def _length_mask(lengths, B, T, dtype):
+    """(B,) per-sequence lengths -> (B, T) {0,1} validity mask."""
+    lengths = jnp.asarray(lengths)
+    return (jnp.arange(T)[None, :] < lengths[:, None]).astype(dtype)
+
+
+def _evidence_mask(mask, lengths, B, T, dtype):
+    """Combine an explicit evidence mask with a trailing-pad length mask.
+    Returns an (B, T) {0,1} array or None when neither is given."""
+    out = None
+    if mask is not None:
+        out = jnp.broadcast_to(jnp.asarray(mask, dtype), (B, T))
+    if lengths is not None:
+        v = _length_mask(lengths, B, T, dtype)
+        out = v if out is None else out * v
+    return out
+
+
+def _ragged_pairs(pairs, lengths, T, dtype):
+    """Per-sequence (B, T-1, ...) pair potentials for a ragged batch:
+    transitions into pad frames are replaced by the NORMALIZED dummy
+    transition x_{t+1} ~ N(0, I), log-density -1/2 x'x' - d/2 log 2pi.
+
+    Why a dummy instead of just zero evidence: the chain's pair potentials
+    are E_q[log p(x'|x, theta)] under the MNIW posterior, which is NOT a
+    normalized conditional -- integrating a pad frame out would leak an
+    x_t-dependent Jensen-gap term E[A'S^-1 A] - E[A'S^-1]E[S^-1]^-1 E[S^-1 A]
+    back into the real frames. The dummy factorizes the pad tail away
+    exactly: each pad transition integrates to 1 and couples nothing, so
+    logZ / local KL / real-frame marginals match the unpadded chain to
+    machine precision (tests/test_masking.py)."""
+    P1, P2, P3, Pc = pairs  # (T-1, d, d) x3 + (T-1,)
+    d = P1.shape[-1]
+    # transition i couples frames (i, i+1); real iff frame i+1 exists
+    w = (jnp.arange(1, T)[None, :]
+         < jnp.asarray(lengths)[:, None]).astype(dtype)      # (B, T-1)
+    wm = w[..., None, None]
+    eye = jnp.eye(d, dtype=dtype)
+    P1b = wm * P1[None] + (1.0 - wm) * (-0.5) * eye
+    P2b = wm * P2[None]
+    P3b = wm * P3[None]
+    Pcb = w * Pc[None] + (1.0 - w) * jnp.asarray(
+        -0.5 * d * jnp.log(2.0 * jnp.pi), dtype)
+    return P1b, P2b, P3b, Pcb
+
+
+# --------------------------------------------------------------------------
 # single-sequence E-step
 # --------------------------------------------------------------------------
 
 
 def _sequence_inference(init, pairs, nn_potentials, key, num_samples,
-                        parallel=False):
-    """One sequence: returns (samples (S, T, d), seq stats, local_kl)."""
+                        parallel=False, valid=None):
+    """One sequence: returns (samples (S, T, d), seq stats, local_kl).
+
+    ``valid`` is an optional (T,) {0,1} frame-validity weight (trailing-pad
+    ragged-batch support): transition t -> t+1 enters the MNIW stats with
+    weight valid[t+1], so padded tail frames contribute nothing to the
+    M-step (their evidence must already be zeroed via mask_potentials;
+    the local KL is then exact automatically -- zero-potential tail frames
+    cancel between the posterior and prior log-normalizers)."""
     nodes = _node_potentials(nn_potentials)
     samples, (Ex, ExxT, Exnxt), logZ = kalman.lds_inference(
         init, pairs, nodes, key, num_samples, parallel=parallel
@@ -112,12 +188,21 @@ def _sequence_inference(init, pairs, nn_potentials, key, num_samples,
     one = jnp.ones((), Ex.dtype)
     niw_stats = (ExxT[0], Ex[0], one, one)
     ExnxtT = jnp.swapaxes(Exnxt, -1, -2)  # E[x_{t+1} x_t^T]
-    mniw_stats = (
-        jnp.sum(ExxT[1:], axis=0),
-        jnp.sum(ExnxtT, axis=0),
-        jnp.sum(ExxT[:-1], axis=0),
-        (T - 1) * one,
-    )
+    if valid is None:
+        mniw_stats = (
+            jnp.sum(ExxT[1:], axis=0),
+            jnp.sum(ExnxtT, axis=0),
+            jnp.sum(ExxT[:-1], axis=0),
+            (T - 1) * one,
+        )
+    else:
+        w = valid[1:, None, None]
+        mniw_stats = (
+            jnp.sum(w * ExxT[1:], axis=0),
+            jnp.sum(w * ExnxtT, axis=0),
+            jnp.sum(w * ExxT[:-1], axis=0),
+            jnp.sum(valid) - one,
+        )
     return samples, (niw_stats, mniw_stats), local_kl
 
 
@@ -127,11 +212,16 @@ def _sequence_inference(init, pairs, nn_potentials, key, num_samples,
 
 
 def _batched_inference_pallas(init, pairs, nn_potentials, key, num_samples,
-                              interpret=False):
+                              interpret=False, valid=None):
     """Minibatch E-step on the differentiable fused Pallas kernels
     (svae_tpu/ops/pallas_vjp.py) -- the batch rides the kernels' lane axis
     natively instead of vmapping the per-sequence scan. Returns the same
-    (samples, stats, local_kl) as the vmapped XLA path (parity-tested)."""
+    (samples, stats, local_kl) as the vmapped XLA path (parity-tested).
+
+    ``valid`` is an optional (B, T) {0,1} frame-validity weight (see
+    _sequence_inference); the kernels themselves are mask-free -- stats are
+    assembled from the full (B, T) moments out here, so ragged batches cost
+    nothing inside the fused scan."""
     from svae_tpu.ops import pallas_vjp
 
     J_diag, h = nn_potentials
@@ -146,12 +236,21 @@ def _batched_inference_pallas(init, pairs, nn_potentials, key, num_samples,
     niw_stats = (jnp.sum(ExxT[:, 0], axis=0), jnp.sum(Ex[:, 0], axis=0),
                  cnt, cnt)
     ExnxtT = jnp.swapaxes(Exnxt, -1, -2)  # E[x_{t+1} x_t^T]
-    mniw_stats = (
-        jnp.sum(ExxT[:, 1:], axis=(0, 1)),
-        jnp.sum(ExnxtT, axis=(0, 1)),
-        jnp.sum(ExxT[:, :-1], axis=(0, 1)),
-        (T - 1) * cnt,
-    )
+    if valid is None:
+        mniw_stats = (
+            jnp.sum(ExxT[:, 1:], axis=(0, 1)),
+            jnp.sum(ExnxtT, axis=(0, 1)),
+            jnp.sum(ExxT[:, :-1], axis=(0, 1)),
+            (T - 1) * cnt,
+        )
+    else:
+        w = valid[:, 1:, None, None]
+        mniw_stats = (
+            jnp.sum(w * ExxT[:, 1:], axis=(0, 1)),
+            jnp.sum(w * ExnxtT, axis=(0, 1)),
+            jnp.sum(w * ExxT[:, :-1], axis=(0, 1)),
+            jnp.sum(valid) - cnt,
+        )
     return samples, (niw_stats, mniw_stats), local_kl
 
 
@@ -186,7 +285,7 @@ def prior_kl(global_natparam, prior_natparam):
 @f32_linalg
 def run_inference(prior_natparam, global_natparam, nn_potentials, key,
                   num_samples=1, parallel=False, backend="xla",
-                  interpret=False):
+                  interpret=False, mask=None, lengths=None):
     """E-step + sampling + KLs (reference: svae/models/lds.py:run_inference).
 
     ``nn_potentials`` = (J_diag, h), each (T, d) for a single sequence or
@@ -206,29 +305,60 @@ def run_inference(prior_natparam, global_natparam, nn_potentials, key,
     tests/test_pallas_vjp.py, tests/test_lds_model.py; on-chip gate
     benchmarks/onchip_parity.py); ``interpret`` runs Pallas in interpreter
     mode (CPU testing).
+
+    ``mask``: optional (T,) / (B, T) evidence mask -- falsy frames are
+    treated as MISSING observations (their recognition potentials are
+    zeroed; the smoother bridges them through the dynamics). Expected
+    sufficient statistics still cover every frame, which is the correct
+    EM treatment of missing data. ``lengths``: optional (B,) per-sequence
+    lengths for ragged minibatches padded to a common T -- pad frames
+    beyond a sequence's length carry no evidence AND are excluded from
+    the MNIW statistics/counts, so training on padded batches matches
+    training on the unpadded sequences exactly (tests/test_masking.py).
+    Both compose; every backend supports them (masking happens outside
+    the kernels on static shapes -- the TPU-native ragged story).
     """
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     J_diag, h = nn_potentials
     batched = J_diag.ndim == 3
     T = J_diag.shape[-2]
+    if lengths is not None and not batched:
+        raise ValueError("lengths= requires batched (B, T, d) potentials")
     init, pairs = expected_chain_potentials(global_natparam, T,
                                             dtype=h.dtype)
+
+    B = J_diag.shape[0] if batched else 1
+    ev_mask = _evidence_mask(mask, lengths, B, T, h.dtype)
+    if ev_mask is not None:
+        J_diag, h = mask_potentials(
+            (J_diag, h), ev_mask if batched else ev_mask[0])
+    valid = (_length_mask(lengths, B, T, h.dtype)
+             if lengths is not None else None)
+    if lengths is not None:
+        pairs = _ragged_pairs(pairs, lengths, T, h.dtype)
 
     if backend == "pallas":
         if not batched:
             J_diag, h = J_diag[None], h[None]
         samples, stats, local_kl = _batched_inference_pallas(
-            init, pairs, (J_diag, h), key, num_samples, interpret=interpret)
+            init, pairs, (J_diag, h), key, num_samples, interpret=interpret,
+            valid=valid)
         if not batched:
             samples = samples[:, 0]
     elif batched:
-        B = J_diag.shape[0]
         keys = jax.random.split(key, B)
-        samples, stats, local_kls = jax.vmap(
-            lambda p, k: _sequence_inference(init, pairs, p, k, num_samples,
-                                             parallel=parallel)
-        )((J_diag, h), keys)
+        if valid is None:
+            samples, stats, local_kls = jax.vmap(
+                lambda p, k: _sequence_inference(
+                    init, pairs, p, k, num_samples, parallel=parallel)
+            )((J_diag, h), keys)
+        else:
+            samples, stats, local_kls = jax.vmap(
+                lambda pr, p, k, v: _sequence_inference(
+                    init, pr, p, k, num_samples, parallel=parallel,
+                    valid=v)
+            )(pairs, (J_diag, h), keys, valid)
         samples = jnp.moveaxis(samples, 0, 1)  # (B, S, T, d) -> (S, B, T, d)
         stats = jax.tree.map(lambda s: jnp.sum(s, axis=0), stats)
         local_kl = jnp.sum(local_kls)
@@ -247,26 +377,39 @@ def run_inference(prior_natparam, global_natparam, nn_potentials, key,
 
 
 @f32_linalg
-def posterior_moments(global_natparam, nn_potentials, parallel=False):
+def posterior_moments(global_natparam, nn_potentials, parallel=False,
+                      mask=None, lengths=None):
     """Smoothed posterior moments for one sequence or a batch:
     ``(Ex, ExxT, Exnxt, logZ)``. The eval-side twin of run_inference
     without sampling/KLs (reference: the smoother outputs the experiments
-    plot)."""
+    plot). ``mask`` / ``lengths`` mark missing frames / ragged batches as
+    in run_inference: masked frames get the dynamics-bridged (interpolated)
+    posterior -- the smoother IS the missing-data imputer."""
     J_diag, h = nn_potentials
     batched = J_diag.ndim == 3
     T = J_diag.shape[-2]
+    B = J_diag.shape[0] if batched else 1
+    ev_mask = _evidence_mask(mask, lengths, B, T, h.dtype)
+    if ev_mask is not None:
+        J_diag, h = mask_potentials(
+            (J_diag, h), ev_mask if batched else ev_mask[0])
     init, pairs = expected_chain_potentials(global_natparam, T,
                                             dtype=h.dtype)
 
-    def one(p):
+    def one(p, pr):
         nodes = _node_potentials(p)
-        logZ, Ex, ExxT, Exnxt = kalman.lds_smoother(init, pairs, nodes,
+        logZ, Ex, ExxT, Exnxt = kalman.lds_smoother(init, pr, nodes,
                                                     parallel=parallel)
         return Ex, ExxT, Exnxt, logZ
 
+    if lengths is not None:
+        if not batched:
+            raise ValueError("lengths= requires batched (B, T, d) potentials")
+        pairs_b = _ragged_pairs(pairs, lengths, T, h.dtype)
+        return jax.vmap(one)((J_diag, h), pairs_b)
     if batched:
-        return jax.vmap(one)((J_diag, h))
-    return one((J_diag, h))
+        return jax.vmap(lambda p: one(p, pairs))((J_diag, h))
+    return one((J_diag, h), pairs)
 
 
 @f32_linalg

@@ -441,7 +441,7 @@ def most_likely_states(global_natparam, nn_potentials,
 
 def run_inference(prior_natparam, global_natparam, nn_potentials, key,
                   num_samples=1, num_meanfield_iters=15, num_diff_iters=1,
-                  parallel=False, backend="xla", interpret=False):
+                  parallel=False, backend="xla", interpret=False, mask=None):
     """E-step + sampling + KLs (reference: svae/models/slds.py:run_inference).
 
     ``nn_potentials`` = (J_diag, h), each (T, d) or (B, T, d). Returns
@@ -455,10 +455,18 @@ def run_inference(prior_natparam, global_natparam, nn_potentials, key,
     "xla" vmaps the per-sequence scan path; "auto" resolves to "pallas"
     on TPU and "xla" elsewhere. Drop-in equivalent (parity-tested,
     tests/test_slds.py).
+
+    ``mask``: optional (T,) / (B, T) evidence mask -- falsy frames are
+    missing observations (recognition potentials zeroed; the structured
+    mean-field bridges them through the per-state dynamics -- correct EM
+    missing-data semantics: the expected stats still cover every frame).
     """
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     J_diag, h = nn_potentials
+    if mask is not None:
+        from svae_tpu.models.lds import mask_potentials
+        J_diag, h = mask_potentials((J_diag, h), mask)
     batched = J_diag.ndim == 3
     if backend == "pallas":
         if not batched:

@@ -42,26 +42,32 @@ def diag_gaussian_loglike(y, mu, log_sigmasq):
     )
 
 
-def mlp_loglike(params, samples, y, mean_fn=None):
+def mlp_loglike(params, samples, y, mean_fn=None, mask=None):
     """MC-averaged decoder log-likelihood, summed over the batch.
 
     ``samples`` has shape (num_samples, ...batch..., d_latent) (or just
     (...batch..., d_latent)); ``y`` has shape (...batch..., d_obs). The
     sample axes broadcast against y and are averaged out; batch/time axes
-    are summed (a total log-likelihood for the minibatch).
+    are summed (a total log-likelihood for the minibatch). ``mask``
+    (broadcastable to y's batch axes, {0,1}/bool) drops missing frames
+    from the sum (pair with run_inference's mask= / lengths=).
     """
     mu, log_sigmasq = mlp_decode(params, samples, mean_fn=mean_fn)
     ll = diag_gaussian_loglike(y, mu, log_sigmasq)
     extra = ll.ndim - (y.ndim - 1)
     if extra > 0:
         ll = jnp.mean(ll, axis=tuple(range(extra)))
+    if mask is not None:
+        ll = ll * jnp.asarray(mask, ll.dtype)
     return jnp.sum(ll)
 
 
-def linear_loglike(params, samples, y, mean_fn=None):
+def linear_loglike(params, samples, y, mean_fn=None, mask=None):
     mu, log_sigmasq = linear_decode(params, samples, mean_fn=mean_fn)
     ll = diag_gaussian_loglike(y, mu, log_sigmasq)
     extra = ll.ndim - (y.ndim - 1)
     if extra > 0:
         ll = jnp.mean(ll, axis=tuple(range(extra)))
+    if mask is not None:
+        ll = ll * jnp.asarray(mask, ll.dtype)
     return jnp.sum(ll)

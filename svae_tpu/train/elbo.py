@@ -28,22 +28,37 @@ from svae_tpu.utils.pytree import tree_add, tree_sub, tree_scale
 
 
 def make_objective(run_inference, recognize, loglike, pgm_prior, N,
-                   num_samples=1):
+                   num_samples=1, mask_fn=None):
     """Build ``objective(pgm_params, net_params, batch, key) ->
     (elbo_per_datapoint, stats)`` where ``net_params = (recogn_params,
     loglike_params)`` and ``stats`` are the (detached) expected sufficient
     statistics for the natural gradient.
+
+    ``mask_fn`` (optional): ``batch -> (clean_batch, mask)`` for data with
+    missing frames (e.g. svae_tpu.data.masking.nan_mask). The recognition
+    net sees ``clean_batch``; ``mask`` is forwarded to ``run_inference``
+    (as ``mask=``) and to ``loglike`` (as ``mask=``), so missing frames
+    contribute no evidence and no reconstruction term.
     """
 
     def objective(pgm_params, net_params, batch, key):
         recogn_params, loglike_params = net_params
         B = batch.shape[0]
         scale = N / B
-        nn_potentials = recognize(recogn_params, batch)
-        samples, stats, global_kl, local_kl = run_inference(
-            pgm_prior, pgm_params, nn_potentials, key, num_samples
-        )
-        ll = loglike(loglike_params, samples, batch)
+        if mask_fn is None:
+            nn_potentials = recognize(recogn_params, batch)
+            samples, stats, global_kl, local_kl = run_inference(
+                pgm_prior, pgm_params, nn_potentials, key, num_samples
+            )
+            ll = loglike(loglike_params, samples, batch)
+        else:
+            clean, mask = mask_fn(batch)
+            nn_potentials = recognize(recogn_params, clean)
+            samples, stats, global_kl, local_kl = run_inference(
+                pgm_prior, pgm_params, nn_potentials, key, num_samples,
+                mask=mask
+            )
+            ll = loglike(loglike_params, samples, clean, mask=mask)
         elbo = scale * (ll - local_kl) - global_kl
         terms = {
             "loglike": ll / B,
@@ -57,7 +72,7 @@ def make_objective(run_inference, recognize, loglike, pgm_prior, N,
 
 
 def make_gradfun(run_inference, recognize, loglike, pgm_prior, N,
-                 num_samples=1, natgrad_scale=1.0):
+                 num_samples=1, natgrad_scale=1.0, mask_fn=None):
     """Build the per-step value-and-gradient function.
 
     ``gradfun(pgm_params, net_params, batch, key) ->
@@ -70,7 +85,7 @@ def make_gradfun(run_inference, recognize, loglike, pgm_prior, N,
     Jit/pmap/shard_map-compatible (pure function of its inputs).
     """
     objective = make_objective(run_inference, recognize, loglike, pgm_prior,
-                               N, num_samples)
+                               N, num_samples, mask_fn=mask_fn)
 
     def gradfun(pgm_params, net_params, batch, key):
         B = batch.shape[0]
