@@ -63,6 +63,15 @@ class LDSConfig:
 
 
 @dataclass
+class MissingLDSConfig(LDSConfig):
+    # Missing-data variant of config 2: a fraction of frames is dropped
+    # (NaN-marked); trains through the masked-evidence pipeline
+    # (data/masking.py, models/lds.run_inference(mask=)) and reports
+    # smoother-imputation error at the dropped frames.
+    missing_frac: float = 0.25
+
+
+@dataclass
 class SLDSConfig:
     # BASELINE config 3: switching LDS, HMM x Kalman structured mean-field
     K: int = 4
@@ -119,6 +128,10 @@ PRESETS = {
         train=TrainConfig(num_epochs=3, batch_size=50)),
     "lds_dots_smoke": LDSConfig(
         T=30, d_latent=4, num_seqs=32,
+        train=TrainConfig(num_epochs=2, batch_size=8)),
+    "lds_missing": MissingLDSConfig(),
+    "lds_missing_smoke": MissingLDSConfig(
+        T=30, d_latent=4, num_seqs=32, missing_frac=0.3,
         train=TrainConfig(num_epochs=2, batch_size=8)),
     "slds_synth_smoke": SLDSConfig(
         K=3, T=20, d_latent=3, num_seqs=16,

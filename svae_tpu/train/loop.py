@@ -15,7 +15,8 @@ from svae_tpu.train.optim import make_optimizer
 
 def make_train_step(run_inference, recognize, loglike, pgm_prior, N,
                     num_samples=1, natgrad_scale=1.0, pgm_step_size=1.0,
-                    net_optimizer=None, net_step_size=1e-3, donate=True):
+                    net_optimizer=None, net_step_size=1e-3, donate=True,
+                    mask_fn=None):
     """Build ``(init_state, train_step)``:
 
       init_state(pgm_params, net_params) -> opt_state
@@ -25,10 +26,11 @@ def make_train_step(run_inference, recognize, loglike, pgm_prior, N,
     ``terms`` carries the ELBO components and net-grad norm for metrics
     (SURVEY.md section 5 observability). ``train_step`` is jitted with
     donated param/state buffers (in-place update on device, no host
-    round-trips -- the whole SVI step is one XLA program).
+    round-trips -- the whole SVI step is one XLA program). ``mask_fn``
+    enables missing-data training (see elbo.make_objective).
     """
     gradfun = make_gradfun(run_inference, recognize, loglike, pgm_prior, N,
-                           num_samples, natgrad_scale)
+                           num_samples, natgrad_scale, mask_fn=mask_fn)
     opt_init, opt_update = make_optimizer(net_optimizer, pgm_step_size,
                                           net_step_size)
 

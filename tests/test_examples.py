@@ -14,6 +14,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
 
 import gmm_pinwheel
 import lds_dots
+import lds_missing
 import slds_synth
 import conv_lds
 import bigdata_dp
@@ -36,6 +37,11 @@ def test_gmm_pinwheel_smoke(tmp_path):
 
 def test_lds_dots_smoke():
     _check(lds_dots.main(["--preset", "lds_dots_smoke"]))
+
+
+def test_lds_missing_smoke():
+    rmse, rmse_ffill = lds_missing.main(["--preset", "lds_missing_smoke"])
+    assert np.isfinite(rmse) and np.isfinite(rmse_ffill)
 
 
 def test_slds_synth_smoke():
