@@ -480,7 +480,7 @@ def make_online_filter(global_natparam, dtype=jnp.float32):
 
 @f32_linalg
 def predict(global_natparam, nn_potentials, key, num_steps, num_samples=1,
-            parallel=False):
+            parallel=False, mask=None):
     """Forecast: condition on an observed prefix (via the recognition
     potentials), then roll the expected dynamics forward ``num_steps``
     with process noise (reference: the dots-experiment prediction plots).
@@ -488,7 +488,8 @@ def predict(global_natparam, nn_potentials, key, num_steps, num_samples=1,
     Returns latent trajectories shaped (num_samples, T + num_steps, d)
     (or with a leading batch axis if ``nn_potentials`` is batched):
     the first T entries are posterior samples of the conditioning window,
-    the remainder are forecast rollouts.
+    the remainder are forecast rollouts. ``mask`` marks missing frames in
+    the conditioning window (as in run_inference).
     """
     from svae_tpu.utils import smallchol
     from svae_tpu.utils.psd import symmetrize
@@ -499,6 +500,8 @@ def predict(global_natparam, nn_potentials, key, num_steps, num_samples=1,
     Ls = smallchol.chol(Sigma)
 
     J_diag, h = nn_potentials
+    if mask is not None:
+        J_diag, h = mask_potentials((J_diag, h), mask)
     batched = J_diag.ndim == 3
 
     def one(p, k):

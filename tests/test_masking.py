@@ -241,3 +241,56 @@ def test_slds_mask_equals_manual_zeroing():
                                key, num_samples=1, num_meanfield_iters=3)
     for a, b in zip(jax.tree.leaves(out_m), jax.tree.leaves(out_z)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+# ---------------------------------------------------------------------------
+# streaming + forecasting with missing frames
+# ---------------------------------------------------------------------------
+
+
+def test_online_filter_missing_frame_matches_masked_batch():
+    """Serving-side missing data: feeding ZERO potentials for a dropped
+    frame makes the streaming filter do a predict-only update that exactly
+    matches the batch smoother's filtered messages under mask=."""
+    from svae_tpu.ops import kalman
+    from svae_tpu.utils import smallchol
+    from svae_tpu.utils.psd import symmetrize
+
+    d, T = 3, 8
+    gnp = _global(jax.random.PRNGKey(25), d)
+    J, h = _potentials(jax.random.PRNGKey(26), 1, T, d)
+    J, h = J[0], h[0]
+    mask = jnp.ones((T,)).at[2].set(0.0).at[5].set(0.0)
+
+    init_fn, step_fn = lds.make_online_filter(gnp, dtype=jnp.float64)
+    zero = (jnp.zeros((d,), jnp.float64), jnp.zeros((d,), jnp.float64))
+    state, out0 = init_fn((J[0], h[0]))
+    means = [np.asarray(out0[0])]
+    for t in range(1, T):
+        pot = zero if float(mask[t]) == 0.0 else (J[t], h[t])
+        state, out = step_fn(state, pot)
+        means.append(np.asarray(out[0]))
+
+    Jm, hm = lds.mask_potentials((J, h), mask)
+    init, pairs = lds.expected_chain_potentials(gnp, T, dtype=jnp.float64)
+    nodes = lds._node_potentials((Jm, hm))
+    _, Jf, hf = kalman.lds_filter(init, pairs, nodes)
+    for t in range(T):
+        want = np.asarray(smallchol.cho_solve(
+            smallchol.chol(symmetrize(Jf[t])), hf[t]))
+        np.testing.assert_allclose(means[t], want, rtol=1e-9, atol=1e-10)
+
+
+def test_predict_with_mask_runs_and_matches_manual():
+    d, T = 2, 6
+    gnp = _global(jax.random.PRNGKey(27), d)
+    J, h = _potentials(jax.random.PRNGKey(28), 1, T, d)
+    J, h = J[0], h[0]
+    mask = jnp.ones((T,)).at[4].set(0.0)
+    key = jax.random.PRNGKey(29)
+    xs_m = lds.predict(gnp, (J, h), key, num_steps=3, num_samples=2,
+                       mask=mask)
+    xs_z = lds.predict(gnp, lds.mask_potentials((J, h), mask), key,
+                       num_steps=3, num_samples=2)
+    assert xs_m.shape == (2, T + 3, d)
+    np.testing.assert_allclose(np.asarray(xs_m), np.asarray(xs_z))
