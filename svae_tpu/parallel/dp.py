@@ -41,9 +41,12 @@ def shard_key(key, data_axis="data", mc_axis="mc"):
 def make_dp_train_step(run_inference, recognize, loglike, pgm_prior, N,
                        mesh, global_batch, num_samples=1, natgrad_scale=1.0,
                        pgm_step_size=1.0, net_optimizer=None,
-                       net_step_size=1e-3, donate=True):
+                       net_step_size=1e-3, donate=True, mask_fn=None):
     """Build ``(init_state, train_step)`` like train.loop.make_train_step,
-    but SPMD over ``mesh`` (axes ``('mc', 'data')``).
+    but SPMD over ``mesh`` (axes ``('mc', 'data')``). ``mask_fn`` enables
+    missing-data training exactly as in train.elbo.make_objective (applied
+    per data shard -- masking is elementwise, so it commutes with the
+    batch sharding).
 
     ``train_step(pgm_params, net_params, opt_state, batch, key)`` takes the
     GLOBAL batch (leading axis ``global_batch``, sharded over ``data``) and
@@ -69,11 +72,19 @@ def make_dp_train_step(run_inference, recognize, loglike, pgm_prior, N,
         def shard_objective(net_params):
             recogn_params, loglike_params = net_params
             scale = N / global_batch
-            pots = recognize(recogn_params, batch)
-            samples, stats, global_kl, local_kl = run_inference(
-                pgm_prior, pgm_params, pots, k, num_samples
-            )
-            ll = loglike(loglike_params, samples, batch)
+            if mask_fn is None:
+                pots = recognize(recogn_params, batch)
+                samples, stats, global_kl, local_kl = run_inference(
+                    pgm_prior, pgm_params, pots, k, num_samples
+                )
+                ll = loglike(loglike_params, samples, batch)
+            else:
+                clean, mask = mask_fn(batch)
+                pots = recognize(recogn_params, clean)
+                samples, stats, global_kl, local_kl = run_inference(
+                    pgm_prior, pgm_params, pots, k, num_samples, mask=mask
+                )
+                ll = loglike(loglike_params, samples, clean, mask=mask)
             obj = (scale * (ll - local_kl) - global_kl / D) / N
             # per-shard metric terms (same normalization as
             # train.elbo.make_objective: per-datapoint over the GLOBAL

@@ -294,3 +294,47 @@ def test_predict_with_mask_runs_and_matches_manual():
                        num_steps=3, num_samples=2)
     assert xs_m.shape == (2, T + 3, d)
     np.testing.assert_allclose(np.asarray(xs_m), np.asarray(xs_z))
+
+
+# ---------------------------------------------------------------------------
+# data-parallel masked step (virtual 8-device mesh)
+# ---------------------------------------------------------------------------
+
+
+def test_dp_step_mask_fn_wiring():
+    """make_dp_train_step(mask_fn=): identity on NaN-free data (mask all
+    ones) and finite updates on NaN-marked data across the shard_map mesh."""
+    from svae_tpu.parallel import make_mesh, make_dp_train_step
+    from svae_tpu.nets import recognition
+
+    d_obs, d, T, Bg, N = 4, 2, 6, 8, 32
+    mesh = make_mesh(data=4, mc=2)
+    key = jax.random.PRNGKey(40)
+    gnp = _global(key, d)
+    rp = recognition.init_linear_recognize(jax.random.PRNGKey(41), d_obs, d,
+                                           dtype=jnp.float64)
+    dp_ = decoders.init_linear_decode(jax.random.PRNGKey(42), d, d_obs,
+                                      dtype=jnp.float64)
+    data = jax.random.normal(jax.random.PRNGKey(43), (Bg, T, d_obs),
+                             jnp.float64)
+
+    def build(mask_fn):
+        return make_dp_train_step(
+            lds.run_inference, recognition.linear_recognize,
+            decoders.linear_loglike, gnp, N, mesh, Bg,
+            donate=False, mask_fn=mask_fn)
+
+    init_a, step_a = build(None)
+    init_b, step_b = build(masking.nan_mask)
+    opt = init_a(gnp, (rp, dp_))
+    kstep = jax.random.PRNGKey(44)
+    out_a = step_a(gnp, (rp, dp_), opt, data, kstep)
+    out_b = step_b(gnp, (rp, dp_), opt, data, kstep)
+    for a, b in zip(jax.tree.leaves(out_a[:4]), jax.tree.leaves(out_b[:4])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-12, atol=1e-12)
+
+    data_nan = data.at[0, 3].set(jnp.nan)
+    out_c = step_b(gnp, (rp, dp_), opt, data_nan, kstep)
+    assert all(np.isfinite(np.asarray(l)).all()
+               for l in jax.tree.leaves(out_c[:4]))
