@@ -64,9 +64,11 @@ def main(argv=None):
     from functools import partial
     run_inf = partial(lds.run_inference, backend=cfg.backend,
                       parallel=cfg.scan_chunks or False)
+    cdt = (jnp.bfloat16 if cfg.net_compute_dtype == "bfloat16" else None)
     opt_init, train_step = loop_lib.make_train_step(
-        run_inf, recognition.make_conv_recognize(cfg.frame_hw),
-        decoders.mlp_loglike,
+        run_inf, recognition.make_conv_recognize(cfg.frame_hw,
+                                                 compute_dtype=cdt),
+        decoders.make_mlp_loglike(compute_dtype=cdt),
         pgm_prior, N, num_samples=tc.num_samples,
         natgrad_scale=tc.natgrad_scale, pgm_step_size=tc.pgm_step_size,
         net_step_size=tc.net_step_size, net_optimizer=tc.net_optimizer,

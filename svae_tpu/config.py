@@ -98,6 +98,9 @@ class ConvLDSConfig:
     hidden_dec: Tuple[int, ...] = (128,)
     backend: str = "auto"   # see LDSConfig.backend
     scan_chunks: int = 64   # long-T: parallel-in-time XLA scan flavor
+    # "bfloat16" runs the conv/decoder matmuls with bf16 MXU operands and
+    # f32 accumulation (2x matmul throughput; PGM algebra stays f32)
+    net_compute_dtype: str = "float32"
     train: TrainConfig = field(default_factory=lambda: TrainConfig(
         batch_size=8))
 

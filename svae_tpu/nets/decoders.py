@@ -18,11 +18,14 @@ def init_mlp_decode(key, d_latent, hidden_sizes, d_obs, dtype=jnp.float32):
     )
 
 
-def mlp_decode(params, x, mean_fn=None):
-    """x (..., d_latent) -> (mu, log_sigmasq) each (..., d_obs)."""
+def mlp_decode(params, x, mean_fn=None, compute_dtype=None):
+    """x (..., d_latent) -> (mu, log_sigmasq) each (..., d_obs).
+    ``compute_dtype=jnp.bfloat16`` selects the MXU reduced-precision matmul
+    path (f32 accumulation; see nets.mlp.matmul)."""
     hidden, head = params
-    h = mlp_lib.mlp(hidden, x)
-    return mlp_lib.gaussian_mean_head(head, h, mean_fn=mean_fn)
+    h = mlp_lib.mlp(hidden, x, compute_dtype=compute_dtype)
+    return mlp_lib.gaussian_mean_head(head, h, mean_fn=mean_fn,
+                                      compute_dtype=compute_dtype)
 
 
 def init_linear_decode(key, d_latent, d_obs, dtype=jnp.float32):
@@ -42,7 +45,8 @@ def diag_gaussian_loglike(y, mu, log_sigmasq):
     )
 
 
-def mlp_loglike(params, samples, y, mean_fn=None, mask=None):
+def mlp_loglike(params, samples, y, mean_fn=None, mask=None,
+                compute_dtype=None):
     """MC-averaged decoder log-likelihood, summed over the batch.
 
     ``samples`` has shape (num_samples, ...batch..., d_latent) (or just
@@ -51,8 +55,11 @@ def mlp_loglike(params, samples, y, mean_fn=None, mask=None):
     are summed (a total log-likelihood for the minibatch). ``mask``
     (broadcastable to y's batch axes, {0,1}/bool) drops missing frames
     from the sum (pair with run_inference's mask= / lengths=).
+    ``compute_dtype=jnp.bfloat16`` runs the decoder matmuls with bf16 MXU
+    operands (f32 accumulation); the log-density itself stays float32.
     """
-    mu, log_sigmasq = mlp_decode(params, samples, mean_fn=mean_fn)
+    mu, log_sigmasq = mlp_decode(params, samples, mean_fn=mean_fn,
+                                 compute_dtype=compute_dtype)
     ll = diag_gaussian_loglike(y, mu, log_sigmasq)
     extra = ll.ndim - (y.ndim - 1)
     if extra > 0:
@@ -60,6 +67,17 @@ def mlp_loglike(params, samples, y, mean_fn=None, mask=None):
     if mask is not None:
         ll = ll * jnp.asarray(mask, ll.dtype)
     return jnp.sum(ll)
+
+
+def make_mlp_loglike(mean_fn=None, compute_dtype=None):
+    """Close over decode options -> ``loglike(params, samples, y, mask=...)``
+    usable directly as the training core's loglike function."""
+
+    def loglike(params, samples, y, mask=None):
+        return mlp_loglike(params, samples, y, mean_fn=mean_fn, mask=mask,
+                           compute_dtype=compute_dtype)
+
+    return loglike
 
 
 def linear_loglike(params, samples, y, mean_fn=None, mask=None):

@@ -12,6 +12,26 @@ import jax
 import jax.numpy as jnp
 
 
+def matmul(x, W, compute_dtype=None):
+    """``x @ W`` with an optional reduced-precision MXU operand path.
+
+    ``compute_dtype=jnp.bfloat16`` casts ONLY the matmul operands to bf16
+    and accumulates in float32 (``preferred_element_type``) -- the TPU MXU
+    runs bf16xbf16->f32 at 2x the f32 rate, so this is a pure-throughput
+    knob for the (dense) net compute. Params, biases, activations and all
+    PGM-side algebra stay float32 (the small-matrix PSD linalg must NOT
+    take this path -- see utils/psd.py for why bf16 operand truncation is
+    unsafe there). ``None`` is the exact float32 path.
+    """
+    if compute_dtype is None:
+        return x @ W
+    return jnp.matmul(
+        x.astype(compute_dtype),
+        W.astype(compute_dtype),
+        preferred_element_type=jnp.float32,
+    )
+
+
 def _glorot(key, n_in, n_out, scale=1.0, dtype=jnp.float32):
     std = scale * jnp.sqrt(2.0 / (n_in + n_out))
     return std * jax.random.normal(key, (n_in, n_out), dtype)
@@ -33,10 +53,12 @@ def init_mlp(key, sizes, scale=1.0, dtype=jnp.float32):
     )
 
 
-def mlp(params, x, activation=jnp.tanh):
-    """Apply the hidden stack; activation after every layer."""
+def mlp(params, x, activation=jnp.tanh, compute_dtype=None):
+    """Apply the hidden stack; activation after every layer.
+    ``compute_dtype`` selects the reduced-precision matmul path
+    (see :func:`matmul`)."""
     for W, b in params:
-        x = activation(x @ W + b)
+        x = activation(matmul(x, W, compute_dtype) + b)
     return x
 
 
@@ -55,15 +77,16 @@ def init_resnet(key, d_in, width, depth, scale=1.0, dtype=jnp.float32):
     return (proj, blocks)
 
 
-def resnet(params, x, activation=jnp.tanh):
+def resnet(params, x, activation=jnp.tanh, compute_dtype=None):
     """Apply the residual stack: h = act(proj(x));
     h <- h + act(W2 act(W1 h + b1) + b2) per block. Identity skips keep
     gradients well-conditioned at depth (matches the reference's residual
     recognition variant; the output feeds a Gaussian head)."""
     (Wp, bp), blocks = params
-    h = activation(x @ Wp + bp)
+    h = activation(matmul(x, Wp, compute_dtype) + bp)
     for (W1, b1), (W2, b2) in blocks:
-        h = h + activation(activation(h @ W1 + b1) @ W2 + b2)
+        inner = activation(matmul(h, W1, compute_dtype) + b1)
+        h = h + activation(matmul(inner, W2, compute_dtype) + b2)
     return h
 
 
@@ -76,24 +99,24 @@ def init_gaussian_head(key, n_in, n_out, scale=1.0, dtype=jnp.float32):
     )
 
 
-def gaussian_mean_head(head_params, h, mean_fn=None):
+def gaussian_mean_head(head_params, h, mean_fn=None, compute_dtype=None):
     """Decoder head: h -> (mu, log_sigmasq). ``mean_fn`` (e.g. sigmoid for
     image data) post-processes the mean block."""
     (Wm, bm), (Ws, bs) = head_params
-    mu = h @ Wm + bm
+    mu = matmul(h, Wm, compute_dtype) + bm
     if mean_fn is not None:
         mu = mean_fn(mu)
-    log_sigmasq = h @ Ws + bs
+    log_sigmasq = matmul(h, Ws, compute_dtype) + bs
     return mu, log_sigmasq
 
 
-def gaussian_info_head(head_params, h, eps=1e-6):
+def gaussian_info_head(head_params, h, eps=1e-6, compute_dtype=None):
     """Recognition head: h -> diagonal natural potential (J_diag, h_lin) with
     J_diag > 0 via softplus (reference's gaussian_info emits (J, h) evidence
     potentials)."""
     (Wj, bj), (Wh, bh) = head_params
-    J_diag = jax.nn.softplus(h @ Wj + bj) + eps
-    h_lin = h @ Wh + bh
+    J_diag = jax.nn.softplus(matmul(h, Wj, compute_dtype) + bj) + eps
+    h_lin = matmul(h, Wh, compute_dtype) + bh
     return J_diag, h_lin
 
 

@@ -21,11 +21,13 @@ def init_mlp_recognize(key, d_obs, hidden_sizes, d_latent, dtype=jnp.float32):
     )
 
 
-def mlp_recognize(params, data):
-    """data (..., d_obs) -> (J_diag, h) each (..., d_latent)."""
+def mlp_recognize(params, data, compute_dtype=None):
+    """data (..., d_obs) -> (J_diag, h) each (..., d_latent).
+    ``compute_dtype=jnp.bfloat16`` selects the MXU reduced-precision matmul
+    path (f32 accumulation; see nets.mlp.matmul)."""
     hidden, head = params
-    h = mlp_lib.mlp(hidden, data)
-    return mlp_lib.gaussian_info_head(head, h)
+    h = mlp_lib.mlp(hidden, data, compute_dtype=compute_dtype)
+    return mlp_lib.gaussian_info_head(head, h, compute_dtype=compute_dtype)
 
 
 def init_resnet_recognize(key, d_obs, width, depth, d_latent,
@@ -39,11 +41,11 @@ def init_resnet_recognize(key, d_obs, width, depth, d_latent,
     return (stack, head)
 
 
-def resnet_recognize(params, data):
+def resnet_recognize(params, data, compute_dtype=None):
     """data (..., d_obs) -> (J_diag, h) each (..., d_latent)."""
     stack, head = params
-    h = mlp_lib.resnet(stack, data)
-    return mlp_lib.gaussian_info_head(head, h)
+    h = mlp_lib.resnet(stack, data, compute_dtype=compute_dtype)
+    return mlp_lib.gaussian_info_head(head, h, compute_dtype=compute_dtype)
 
 
 def init_linear_recognize(key, d_obs, d_latent, dtype=jnp.float32):
@@ -91,7 +93,7 @@ def init_conv_recognize(
     return (tuple(convs), head)
 
 
-def _conv2d_im2col(x, Wk, stride=2):
+def _conv2d_im2col(x, Wk, stride=2, compute_dtype=None):
     """SAME-padded strided conv as phase-decomposed im2col.
 
     Why not ``lax.conv`` (or even plain strided slices): XLA:TPU's fusion
@@ -127,15 +129,18 @@ def _conv2d_im2col(x, Wk, stride=2):
             cols.append(ph[:, qi:qi + Ho, ri, qj:qj + Wo, rj, :])
     patches = jnp.concatenate(cols, axis=-1)  # (N, Ho, Wo, k*k*C)
     Wmat = Wk.reshape(k * k * C, -1)
-    return patches @ Wmat
+    return mlp_lib.matmul(patches, Wmat, compute_dtype)
 
 
-def conv_recognize(params, data, frame_shape):
+def conv_recognize(params, data, frame_shape, compute_dtype=None):
     """data (..., H*W*C) or (..., H, W, C) -> (J_diag, h) on (..., d_latent).
 
     Stride-2 tanh convs (im2col formulation, see :func:`_conv2d_im2col`);
     all leading axes (batch, time) are flattened into a single batch dim,
     so the MXU sees one large batched matmul instead of a scan over frames.
+    ``compute_dtype=jnp.bfloat16`` runs the im2col matmuls and the head with
+    bf16 MXU operands + f32 accumulation (2x matmul throughput; the conv
+    stack dominates the conv_lds step, so this is the step's main knob).
     """
     if len(frame_shape) == 2:
         frame_shape = tuple(frame_shape) + (1,)
@@ -144,9 +149,9 @@ def conv_recognize(params, data, frame_shape):
     lead = data.shape[: data.ndim - 1] if data.ndim >= 1 else ()
     x = data.reshape((-1, H, W, C))
     for Wk, b in convs:
-        x = jnp.tanh(_conv2d_im2col(x, Wk) + b)
+        x = jnp.tanh(_conv2d_im2col(x, Wk, compute_dtype=compute_dtype) + b)
     x = x.reshape((x.shape[0], -1))
-    J_diag, h = mlp_lib.gaussian_info_head(head, x)
+    J_diag, h = mlp_lib.gaussian_info_head(head, x, compute_dtype=compute_dtype)
     d_latent = h.shape[-1]
     return (
         J_diag.reshape(lead + (d_latent,)),
@@ -154,11 +159,13 @@ def conv_recognize(params, data, frame_shape):
     )
 
 
-def make_conv_recognize(frame_shape):
-    """Close over the static frame shape -> ``recognize(params, data)``
-    usable directly as the training core's recognize function."""
+def make_conv_recognize(frame_shape, compute_dtype=None):
+    """Close over the static frame shape (and optional reduced-precision
+    compute dtype) -> ``recognize(params, data)`` usable directly as the
+    training core's recognize function."""
 
     def recognize(params, data):
-        return conv_recognize(params, data, frame_shape)
+        return conv_recognize(params, data, frame_shape,
+                              compute_dtype=compute_dtype)
 
     return recognize

@@ -98,3 +98,57 @@ def test_resnet_depth_zero_is_projected_head():
     assert blocks == ()
     np.testing.assert_allclose(np.asarray(out),
                                np.tanh(np.asarray(x @ Wp + bp)))
+
+
+def test_bf16_compute_path_matches_f32_within_tolerance():
+    """compute_dtype=bfloat16 truncates only matmul operands (f32
+    accumulation), so outputs must track the f32 path at bf16 operand
+    tolerance and params/outputs stay f32-typed."""
+    key = jax.random.PRNGKey(0)
+    params = recognition.init_mlp_recognize(key, 12, (32, 32), 5,
+                                            dtype=jnp.float32)
+    data = jax.random.normal(jax.random.PRNGKey(1), (9, 12), jnp.float32)
+    J32, h32 = recognition.mlp_recognize(params, data)
+    Jbf, hbf = recognition.mlp_recognize(params, data,
+                                         compute_dtype=jnp.bfloat16)
+    assert Jbf.dtype == jnp.float32 and hbf.dtype == jnp.float32
+    assert np.all(np.asarray(Jbf) > 0)
+    np.testing.assert_allclose(np.asarray(Jbf), np.asarray(J32),
+                               rtol=0.05, atol=0.05)
+    np.testing.assert_allclose(np.asarray(hbf), np.asarray(h32),
+                               rtol=0.05, atol=0.05)
+
+
+def test_bf16_loglike_grads_are_f32_and_close():
+    key = jax.random.PRNGKey(2)
+    params = decoders.init_mlp_decode(key, 3, (16,), 6, dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(3), (4, 3), jnp.float32)
+    y = jax.random.normal(jax.random.PRNGKey(4), (4, 6), jnp.float32)
+    ll_bf = decoders.make_mlp_loglike(compute_dtype=jnp.bfloat16)
+
+    g32 = jax.grad(lambda p: decoders.mlp_loglike(p, x, y))(params)
+    gbf = jax.grad(lambda p: ll_bf(p, x, y))(params)
+    for a, b in zip(jax.tree.leaves(g32), jax.tree.leaves(gbf)):
+        assert b.dtype == jnp.float32
+        assert np.all(np.isfinite(np.asarray(b)))
+        # direction agreement at bf16 operand truncation tolerance
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        if na > 1e-6:
+            cos = float(np.sum(np.asarray(a) * np.asarray(b)) / (na * nb))
+            assert cos > 0.99
+
+
+def test_bf16_conv_recognize_close_to_f32():
+    key = jax.random.PRNGKey(5)
+    hw = (8, 8)
+    params = recognition.init_conv_recognize(key, hw, (4, 8), 3, 5,
+                                             dtype=jnp.float32)
+    data = jax.random.normal(jax.random.PRNGKey(6), (2, 7, 64), jnp.float32)
+    J32, h32 = recognition.conv_recognize(params, data, hw)
+    Jbf, hbf = recognition.conv_recognize(params, data, hw,
+                                          compute_dtype=jnp.bfloat16)
+    assert Jbf.shape == J32.shape == (2, 7, 5)
+    np.testing.assert_allclose(np.asarray(hbf), np.asarray(h32),
+                               rtol=0.1, atol=0.1)
+    np.testing.assert_allclose(np.asarray(Jbf), np.asarray(J32),
+                               rtol=0.1, atol=0.1)
