@@ -117,6 +117,73 @@ def main():
     report["train_step_seqs_per_sec"] = {"pallas": round(sp, 1),
                                          "xla": round(sx, 1)}
     report["train_step_speedup"] = round(sp / sx, 2)
+
+    # ---- 4) ragged batches (lengths=) across backends, LDS + SLDS ----
+    lengths = jnp.asarray([T] * (B - 2) + [T // 2, T // 3])
+    for backend in ("pallas", "xla"):
+        f = jax.jit(lambda J, h, k, b=backend: lds.run_inference(
+            glob, glob, (J, h), k, 1, backend=b, lengths=lengths)[1:])
+        outs[backend] = f(J, h, jax.random.PRNGKey(3))
+        jax.block_until_ready(outs[backend])
+    rel = jax.tree.map(
+        lambda x, y: float(jnp.max(jnp.abs(x - y) / (jnp.abs(y) + 1.0))),
+        outs["pallas"][0], outs["xla"][0])
+    report["ragged_stats_max_rel_err"] = max(jax.tree.leaves(rel))
+    assert report["ragged_stats_max_rel_err"] < 2e-3, rel
+
+    from svae_tpu.models import slds
+    Ks, ds, Bs, Ts = 4, 3, 16, 50
+    sglob = slds.init_pgm_param(jax.random.PRNGKey(7), Ks, ds)
+    kj, kh = jax.random.split(jax.random.PRNGKey(8))
+    Js = jax.nn.softplus(jax.random.normal(kj, (Bs, Ts, ds))) + 0.5
+    hs = jax.random.normal(kh, (Bs, Ts, ds))
+    slens = jnp.asarray([Ts] * (Bs - 2) + [Ts // 2, Ts // 3])
+    souts = {}
+    for backend in ("pallas", "xla"):
+        f = jax.jit(lambda J, h, k, b=backend: slds.run_inference(
+            sglob, sglob, (J, h), k, 1, num_meanfield_iters=5, backend=b,
+            lengths=slens)[1:])
+        souts[backend] = f(Js, hs, jax.random.PRNGKey(9))
+        jax.block_until_ready(souts[backend])
+    rel = jax.tree.map(
+        lambda x, y: float(jnp.max(jnp.abs(x - y) / (jnp.abs(y) + 1.0))),
+        souts["pallas"][0], souts["xla"][0])
+    report["slds_ragged_stats_max_rel_err"] = max(jax.tree.leaves(rel))
+    print("slds ragged stats max rel err:",
+          report["slds_ragged_stats_max_rel_err"], flush=True)
+    assert report["slds_ragged_stats_max_rel_err"] < 5e-3, rel
+
+    # ---- 5) bf16 net compute path: parity + matmul speed ratio ----
+    hw = (16, 16)
+    cparams = recognition.init_conv_recognize(
+        jax.random.PRNGKey(10), hw, (16, 32), 3, D)
+    frames = jax.random.normal(jax.random.PRNGKey(11), (B * 32, 256))
+    f32fn = jax.jit(lambda p, x: recognition.conv_recognize(p, x, hw))
+    bffn = jax.jit(lambda p, x: recognition.conv_recognize(
+        p, x, hw, compute_dtype=jnp.bfloat16))
+    o32 = f32fn(cparams, frames)
+    obf = bffn(cparams, frames)
+    jax.block_until_ready((o32, obf))
+    err = max(float(jnp.max(jnp.abs(a - b)))
+              for a, b in zip(o32, obf))
+    report["bf16_conv_abs_err"] = err
+    assert err < 0.15, err
+
+    def _time(fn, iters=30):
+        dts = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out = fn(cparams, frames)
+            jax.block_until_ready(out)
+            dts.append((time.perf_counter() - t0) / iters)
+        return max(dts)
+
+    t32, tbf = _time(f32fn), _time(bffn)
+    report["bf16_conv_speedup"] = round(t32 / tbf, 2)
+    print(f"conv recognize f32 {t32 * 1e3:.2f} ms, bf16 {tbf * 1e3:.2f} ms "
+          f"({t32 / tbf:.2f}x)", flush=True)
+
     report["passed"] = True
 
     out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "out")

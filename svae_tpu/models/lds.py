@@ -133,10 +133,19 @@ def _evidence_mask(mask, lengths, B, T, dtype):
     return out
 
 
-def _ragged_pairs(pairs, lengths, T, dtype):
-    """Per-sequence (B, T-1, ...) pair potentials for a ragged batch:
-    transitions into pad frames are replaced by the NORMALIZED dummy
-    transition x_{t+1} ~ N(0, I), log-density -1/2 x'x' - d/2 log 2pi.
+def _pair_weight(lengths, T, dtype):
+    """(B,) lengths -> (B, T-1) transition-validity weights: transition t
+    couples frames (t, t+1) and is real iff frame t+1 exists."""
+    return (jnp.arange(1, T)[None, :]
+            < jnp.asarray(lengths)[:, None]).astype(dtype)
+
+
+def dummy_blend_pairs(pairs, w):
+    """Blend pair potentials with the NORMALIZED dummy transition
+    x_{t+1} ~ N(0, I) (log-density -1/2 x'x' - d/2 log 2pi) wherever the
+    transition-validity weight ``w`` is 0. ``pairs`` = (P1, P2, P3, Pc)
+    with leading axes matching ``w`` (e.g. (T-1, d, d) with w (T-1,), or
+    (B, T-1, d, d) with w (B, T-1)).
 
     Why a dummy instead of just zero evidence: the chain's pair potentials
     are E_q[log p(x'|x, theta)] under the MNIW posterior, which is NOT a
@@ -146,19 +155,27 @@ def _ragged_pairs(pairs, lengths, T, dtype):
     exactly: each pad transition integrates to 1 and couples nothing, so
     logZ / local KL / real-frame marginals match the unpadded chain to
     machine precision (tests/test_masking.py)."""
-    P1, P2, P3, Pc = pairs  # (T-1, d, d) x3 + (T-1,)
+    P1, P2, P3, Pc = pairs
     d = P1.shape[-1]
-    # transition i couples frames (i, i+1); real iff frame i+1 exists
-    w = (jnp.arange(1, T)[None, :]
-         < jnp.asarray(lengths)[:, None]).astype(dtype)      # (B, T-1)
+    dtype = P1.dtype
+    w = jnp.asarray(w, dtype)
     wm = w[..., None, None]
     eye = jnp.eye(d, dtype=dtype)
-    P1b = wm * P1[None] + (1.0 - wm) * (-0.5) * eye
-    P2b = wm * P2[None]
-    P3b = wm * P3[None]
-    Pcb = w * Pc[None] + (1.0 - w) * jnp.asarray(
+    P1b = wm * P1 + (1.0 - wm) * (-0.5) * eye
+    P2b = wm * P2
+    P3b = wm * P3
+    Pcb = w * Pc + (1.0 - w) * jnp.asarray(
         -0.5 * d * jnp.log(2.0 * jnp.pi), dtype)
     return P1b, P2b, P3b, Pcb
+
+
+def _ragged_pairs(pairs, lengths, T, dtype):
+    """Per-sequence (B, T-1, ...) pair potentials for a ragged batch:
+    broadcast the shared (T-1, ...) pairs over the batch and swap in the
+    normalized dummy at pad transitions (see :func:`dummy_blend_pairs`)."""
+    w = _pair_weight(lengths, T, dtype)  # (B, T-1)
+    pairs_b = jax.tree.map(lambda p: p[None], pairs)
+    return dummy_blend_pairs(pairs_b, w)
 
 
 # --------------------------------------------------------------------------

@@ -117,13 +117,20 @@ def _x_pair_stats(Ex, ExxT, Exnxt):
 
 @f32_linalg
 def local_meanfield(global_natparam, nn_potentials, num_iters=15,
-                    num_diff_iters=1, parallel=False):
+                    num_diff_iters=1, parallel=False, pair_weight=None):
     """Structured mean-field for one sequence.
 
     ``nn_potentials`` = (J_diag, h), each (T, d). Returns
     ``(hmm_post, lds_post, local_kl)`` where
     ``hmm_post = (logZ_hmm, r (T,K), trans_pair_stats, r1)`` and
     ``lds_post = (logZ_lds, (init, pairs, nodes), (Ex, ExxT, Exnxt))``.
+
+    ``pair_weight`` (T-1,) {0,1} marks real transitions for a ragged
+    sequence padded to T: pad transitions get the normalized dummy factors
+    (N(0,I) on the continuous chain, uniform rows on the discrete chain),
+    pad energies are zeroed, and pad pair counts are excluded -- so the
+    padded chain reproduces the unpadded posterior / logZ / KL exactly
+    (see lds.dummy_blend_pairs for why dummies instead of zero evidence).
     """
     init_dir, trans_dir, niw_np, mniw_np = global_natparam
     e_pi0 = dirichlet.expectedstats(init_dir)  # (K,)
@@ -140,6 +147,8 @@ def local_meanfield(global_natparam, nn_potentials, num_iters=15,
     def x_step(r_next, params):
         e_pair, ci, nds = params
         pairs = _averaged_pairs(e_pair, r_next)
+        if pair_weight is not None:
+            pairs = lds_model.dummy_blend_pairs(pairs, pair_weight)
         logZ_x, Ex, ExxT, Exnxt = kalman.lds_smoother(ci, pairs, nds,
                                                       parallel=parallel)
         return logZ_x, pairs, (Ex, ExxT, Exnxt)
@@ -147,9 +156,18 @@ def local_meanfield(global_natparam, nn_potentials, num_iters=15,
     def z_step(xps, params):
         e_pair, epi0, ePi = params
         L = _pair_energies(e_pair, xps)  # (T-1, K)
+        lt = ePi
+        if pair_weight is not None:
+            L = L * pair_weight[:, None]
+            # normalized uniform dummy rows at pad transitions: each pad
+            # step adds exactly 0 to logZ and constant betas, so real-frame
+            # marginals match the truncated chain exactly
+            w = pair_weight[:, None, None]
+            lt = w * ePi[None] + (1.0 - w) * (-jnp.log(
+                jnp.asarray(K, L.dtype)))
         log_obs = jnp.concatenate([jnp.zeros((1, K), L.dtype), L], axis=0)
-        logZ_z, r, pair_marg, r1 = hmm.hmm_posterior(epi0, ePi, log_obs,
-                                                     parallel=parallel)
+        logZ_z, r, pair_marg, r1 = hmm.hmm_posterior(
+            epi0, lt, log_obs, parallel=parallel, pair_weights=pair_weight)
         return logZ_z, L, r, pair_marg, r1
 
     def sweep(r, params):
@@ -226,12 +244,16 @@ def _x_pair_stats_b(Ex, ExxT, Exnxt):
 
 @f32_linalg
 def _batched_meanfield_pallas(global_natparam, nn_potentials, num_iters=15,
-                              num_diff_iters=1, interpret=False):
+                              num_diff_iters=1, interpret=False,
+                              pair_weights=None):
     """Structured mean-field for a MINIBATCH on the differentiable fused
     Pallas kernels (svae_tpu/ops/pallas_vjp.py): the Kalman sweeps run
     with per-sequence state-averaged pair potentials streamed through the
     bpairs kernel layout; the HMM sweeps stay vmapped XLA (K is small).
-    Same semantics as ``local_meanfield`` vmapped (parity-tested)."""
+    Same semantics as ``local_meanfield`` vmapped (parity-tested).
+    ``pair_weights`` (B, T-1) marks real transitions for ragged batches
+    (see local_meanfield; the kernels themselves are mask-free -- dummies
+    ride the bpairs layout, stats are weighted at assembly)."""
     from svae_tpu.ops import pallas_vjp, pallas_hmm
 
     init_dir, trans_dir, niw_np, mniw_np = global_natparam
@@ -250,6 +272,8 @@ def _batched_meanfield_pallas(global_natparam, nn_potentials, num_iters=15,
     def x_step(r_next, params):
         e_pair, ci, nds = params
         pairs = _averaged_pairs_b(e_pair, r_next)
+        if pair_weights is not None:
+            pairs = lds_model.dummy_blend_pairs(pairs, pair_weights)
         logZ_x, Jf, hf, Jb, hb = pallas_vjp.fb_pass(
             ci, pairs, nds, interpret=interpret)
         Ex, ExxT, Exnxt = pallas_vjp._smoother_assembly(
@@ -259,10 +283,17 @@ def _batched_meanfield_pallas(global_natparam, nn_potentials, num_iters=15,
     def z_step(xps, params):
         e_pair, epi0, ePi = params
         L = _pair_energies_b(e_pair, xps)  # (B, T-1, K)
+        lt = ePi
+        if pair_weights is not None:
+            L = L * pair_weights[..., None]
+            w = pair_weights[..., None, None]
+            lt = w * ePi[None, None] + (1.0 - w) * (-jnp.log(
+                jnp.asarray(K, L.dtype)))  # (B, T-1, K, K)
         log_obs = jnp.concatenate(
             [jnp.zeros((B, 1, K), L.dtype), L], axis=1)
         logZ_z, r, pair_marg, r1 = pallas_hmm.hmm_posterior(
-            epi0, ePi, log_obs, interpret=interpret)
+            epi0, lt, log_obs, interpret=interpret,
+            pair_weights=pair_weights)
         return logZ_z, L, r, pair_marg, r1
 
     def sweep(r, params):
@@ -304,12 +335,12 @@ def _batched_meanfield_pallas(global_natparam, nn_potentials, num_iters=15,
 
 def _batched_inference_pallas(global_natparam, nn_potentials, key,
                               num_samples, num_iters, num_diff_iters,
-                              interpret=False):
+                              interpret=False, pair_weights=None):
     from svae_tpu.ops import pallas_vjp
 
     hmm_post, lds_post, local_kl = _batched_meanfield_pallas(
         global_natparam, nn_potentials, num_iters, num_diff_iters,
-        interpret=interpret)
+        interpret=interpret, pair_weights=pair_weights)
     _, r, trans_pair_stats, r1 = hmm_post
     _, (ci, pairs_bar, nodes), (Ex, ExxT, Exnxt), filt = lds_post
     samples = pallas_vjp.lds_sample(ci, pairs_bar, nodes, key, num_samples,
@@ -317,6 +348,10 @@ def _batched_inference_pallas(global_natparam, nn_potentials, key,
 
     one = jnp.ones((), Ex.dtype)
     r_next = r[:, 1:]  # (B, T-1, K)
+    if pair_weights is not None:
+        # pad transitions leave the MNIW stats/counts (pad r is uniform
+        # under the dummy factors and means nothing)
+        r_next = r_next * pair_weights[..., None]
     ExnT = jnp.swapaxes(Exnxt, -1, -2)
     stats = (
         jnp.sum(r1, axis=0),
@@ -338,13 +373,16 @@ def _batched_inference_pallas(global_natparam, nn_potentials, key,
 # --------------------------------------------------------------------------
 
 
-def _sequence_stats(r, trans_pair_stats, r1, Ex, ExxT, Exnxt):
+def _sequence_stats(r, trans_pair_stats, r1, Ex, ExxT, Exnxt,
+                    pair_weight=None):
     """Stats congruent with (init_dir, trans_dir, niw, mniw_K)."""
     one = jnp.ones((), Ex.dtype)
     init_dir_stats = r1
     trans_dir_stats = trans_pair_stats  # summed over t by hmm_marginals
     niw_stats = (ExxT[0], Ex[0], one, one)
     r_next = r[1:]  # (T-1, K)
+    if pair_weight is not None:
+        r_next = r_next * pair_weight[:, None]
     ExnT = jnp.swapaxes(Exnxt, -1, -2)
     mniw_stats = (
         jnp.einsum("tk,tij->kij", r_next, ExxT[1:]),
@@ -381,16 +419,18 @@ def prior_kl(global_natparam, prior_natparam):
 
 
 def _sequence_inference(global_natparam, nn_potentials, key, num_samples,
-                        num_iters, num_diff_iters, parallel=False):
+                        num_iters, num_diff_iters, parallel=False,
+                        pair_weight=None):
     hmm_post, lds_post, local_kl = local_meanfield(
         global_natparam, nn_potentials, num_iters, num_diff_iters,
-        parallel=parallel
+        parallel=parallel, pair_weight=pair_weight
     )
     _, r, trans_pair_stats, r1 = hmm_post
     _, (ci, pairs_bar, nodes), (Ex, ExxT, Exnxt) = lds_post
     samples = kalman.lds_sample(ci, pairs_bar, nodes, key, num_samples,
                                 parallel=parallel)
-    stats = _sequence_stats(r, trans_pair_stats, r1, Ex, ExxT, Exnxt)
+    stats = _sequence_stats(r, trans_pair_stats, r1, Ex, ExxT, Exnxt,
+                            pair_weight=pair_weight)
     return samples, stats, local_kl
 
 
@@ -439,9 +479,97 @@ def most_likely_states(global_natparam, nn_potentials,
     return path
 
 
+@f32_linalg
+def predict(global_natparam, nn_potentials, key, num_steps, num_samples=1,
+            num_meanfield_iters=15, parallel=False, mask=None):
+    """Regime-switching forecast: condition on an observed prefix via the
+    structured mean-field, sample joint posterior paths (z_{1:T}, x_{1:T}),
+    then roll the posterior-mean dynamics forward ``num_steps`` with
+    discrete-state switching and process noise (reference: the SLDS
+    experiments' prediction rollouts; the switching analogue of
+    models.lds.predict).
+
+    Forecast dynamics: z_{t+1} ~ Cat(E[Pi]_{z_t, .}) (posterior-mean
+    transition rows from the Dirichlet factors),
+    x_{t+1} ~ N(E[A_k] x_t, E[Sigma_k]) at k = z_{t+1}
+    (mniw.posterior_mean_params -- the same single source of truth the LDS
+    forecaster uses).
+
+    Returns ``(x_traj, z_traj)`` shaped (S, T+num_steps, d) and int32
+    (S, T+num_steps) -- with a leading batch axis if ``nn_potentials`` is
+    batched. ``mask`` marks missing frames in the conditioning window (as
+    in run_inference).
+    """
+    from svae_tpu.utils import smallchol
+
+    init_dir, trans_dir, niw_np, mniw_np = global_natparam
+    # posterior-MEAN transition probabilities (not exp E[log Pi]): the
+    # forecast rollout wants a normalized predictive kernel
+    alpha = dirichlet.natural_to_standard(trans_dir)
+    log_Pi = jnp.log(alpha / jnp.sum(alpha, axis=-1, keepdims=True))
+    A_k, Sigma_k = mniw.posterior_mean_params(mniw_np)  # (K,d,d) each
+    d = A_k.shape[-1]
+    Ls_k = smallchol.chol(Sigma_k)
+
+    J_diag, h = nn_potentials
+    if mask is not None:
+        J_diag, h = lds_model.mask_potentials((J_diag, h), mask)
+    batched = J_diag.ndim == 3
+
+    if isinstance(num_samples, int):
+        S = (num_samples,)
+    else:
+        S = tuple(num_samples)
+
+    def one(p, k):
+        hmm_post, lds_post, _ = local_meanfield(
+            global_natparam, p, num_iters=num_meanfield_iters,
+            num_diff_iters=0, parallel=parallel)
+        _, (ci, pairs_bar, nodes), (Ex, ExxT, Exnxt) = lds_post
+        k1, k2, k3, k4 = jax.random.split(k, 4)
+        xs = kalman.lds_sample(ci, pairs_bar, nodes, k1, S,
+                               parallel=parallel)  # S + (T, d)
+        # discrete posterior paths under the converged mean-field energies
+        e_pi0 = dirichlet.expectedstats(init_dir)
+        e_Pi = dirichlet.expectedstats(trans_dir)
+        E_pair = mniw.expected_pair_potential(mniw_np)
+        L = _pair_energies(E_pair, _x_pair_stats(Ex, ExxT, Exnxt))
+        K = e_pi0.shape[0]
+        log_obs = jnp.concatenate([jnp.zeros((1, K), L.dtype), L], axis=0)
+        zs = hmm.hmm_sample(e_pi0, e_Pi, log_obs, k2, S,
+                            parallel=parallel)  # S + (T,) int32
+
+        eps = jax.random.normal(k3, (num_steps,) + S + (d,), xs.dtype)
+        gum = jax.random.gumbel(k4, (num_steps,) + S + (K,), xs.dtype)
+
+        def roll(carry, inp):
+            z, x = carry
+            g, e = inp
+            z_next = jnp.argmax(log_Pi[z] + g, axis=-1)
+            A = A_k[z_next]
+            Ls = Ls_k[z_next]
+            x_next = (A @ x[..., None])[..., 0] + (Ls @ e[..., None])[..., 0]
+            return (z_next, x_next), (z_next, x_next)
+
+        (_, _), (z_fut, x_fut) = jax.lax.scan(
+            roll, (zs[..., -1], xs[..., -1, :]), (gum, eps))
+        x_traj = jnp.concatenate(
+            [xs, jnp.moveaxis(x_fut, 0, -2)], axis=-2)
+        z_traj = jnp.concatenate(
+            [zs, jnp.moveaxis(z_fut, 0, -1)], axis=-1).astype(jnp.int32)
+        return x_traj, z_traj
+
+    if batched:
+        B = J_diag.shape[0]
+        keys = jax.random.split(key, B)
+        return jax.vmap(one)((J_diag, h), keys)
+    return one((J_diag, h), key)
+
+
 def run_inference(prior_natparam, global_natparam, nn_potentials, key,
                   num_samples=1, num_meanfield_iters=15, num_diff_iters=1,
-                  parallel=False, backend="xla", interpret=False, mask=None):
+                  parallel=False, backend="xla", interpret=False, mask=None,
+                  lengths=None):
     """E-step + sampling + KLs (reference: svae/models/slds.py:run_inference).
 
     ``nn_potentials`` = (J_diag, h), each (T, d) or (B, T, d). Returns
@@ -460,30 +588,51 @@ def run_inference(prior_natparam, global_natparam, nn_potentials, key,
     missing observations (recognition potentials zeroed; the structured
     mean-field bridges them through the per-state dynamics -- correct EM
     missing-data semantics: the expected stats still cover every frame).
+    ``lengths``: optional (B,) per-sequence lengths for ragged minibatches
+    padded to a common T -- pad frames carry no evidence, pad transitions
+    become normalized dummy factors on BOTH chains (N(0,I) on the
+    continuous chain, uniform rows on the discrete chain), and pad
+    transitions leave every M-step stat/count -- so training on padded
+    batches matches the unpadded sequences exactly (tests/test_masking.py).
+    Both compose; every backend supports them.
     """
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     J_diag, h = nn_potentials
-    if mask is not None:
-        from svae_tpu.models.lds import mask_potentials
-        J_diag, h = mask_potentials((J_diag, h), mask)
     batched = J_diag.ndim == 3
+    T = J_diag.shape[-2]
+    if lengths is not None and not batched:
+        raise ValueError("lengths= requires batched (B, T, d) potentials")
+    B = J_diag.shape[0] if batched else 1
+    ev_mask = lds_model._evidence_mask(mask, lengths, B, T, h.dtype)
+    if ev_mask is not None:
+        J_diag, h = lds_model.mask_potentials(
+            (J_diag, h), ev_mask if batched else ev_mask[0])
+    pair_w = (lds_model._pair_weight(lengths, T, h.dtype)
+              if lengths is not None else None)
     if backend == "pallas":
         if not batched:
             J_diag, h = J_diag[None], h[None]
         samples, stats, local_kl = _batched_inference_pallas(
             global_natparam, (J_diag, h), key, num_samples,
-            num_meanfield_iters, num_diff_iters, interpret=interpret)
+            num_meanfield_iters, num_diff_iters, interpret=interpret,
+            pair_weights=pair_w)
         if not batched:
             samples = samples[:, 0]
     elif batched:
-        B = J_diag.shape[0]
         keys = jax.random.split(key, B)
-        samples, stats, lkls = jax.vmap(
-            lambda p, k: _sequence_inference(
-                global_natparam, p, k, num_samples, num_meanfield_iters,
-                num_diff_iters, parallel=parallel)
-        )((J_diag, h), keys)
+        if pair_w is None:
+            samples, stats, lkls = jax.vmap(
+                lambda p, k: _sequence_inference(
+                    global_natparam, p, k, num_samples, num_meanfield_iters,
+                    num_diff_iters, parallel=parallel)
+            )((J_diag, h), keys)
+        else:
+            samples, stats, lkls = jax.vmap(
+                lambda p, k, w: _sequence_inference(
+                    global_natparam, p, k, num_samples, num_meanfield_iters,
+                    num_diff_iters, parallel=parallel, pair_weight=w)
+            )((J_diag, h), keys, pair_w)
         samples = jnp.moveaxis(samples, 0, 1)  # (B, S, T, d) -> (S, B, T, d)
         stats = jax.tree.map(lambda s: jnp.sum(s, axis=0), stats)
         local_kl = jnp.sum(lkls)

@@ -123,7 +123,8 @@ def hmm_marginals(log_init, log_trans, log_obs, parallel=False):
     return logZ, g_obs, g_trans, g_init
 
 
-def hmm_posterior(log_init, log_trans, log_obs, parallel=False):
+def hmm_posterior(log_init, log_trans, log_obs, parallel=False,
+                  pair_weights=None):
     """Direct forward-backward posterior: ``(logZ, node_marginals (T, K),
     pair_sum (K, K), init_marginal (K,))``.
 
@@ -133,7 +134,11 @@ def hmm_posterior(log_init, log_trans, log_obs, parallel=False):
     caller only needs marginals (the SLDS mean-field sweeps). Fully
     differentiable, so it also serves the truncated-backprop tail.
     ``pair_sum`` are the summed transition counts q(z_t=i, z_{t+1}=j)
-    (homogeneous log_trans only -- the Dirichlet natural-gradient stat).
+    (the Dirichlet natural-gradient stat). ``log_trans`` may be (K, K)
+    homogeneous or (T-1, K, K) time-varying (the ragged-batch path swaps
+    a normalized uniform dummy in at pad transitions). ``pair_weights``
+    (T-1,) weights the pair-count sum -- pad transitions are excluded from
+    the M-step stat.
     """
     assert log_obs.ndim == 2, "hmm_posterior expects unbatched log_obs; vmap it"
     T, K = log_obs.shape
@@ -173,7 +178,12 @@ def hmm_posterior(log_init, log_trans, log_obs, parallel=False):
     pair = jnp.exp(
         alpha[:-1, :, None] + M + beta[1:, None, :] - logZ
     )
-    return logZ, node, jnp.sum(pair, axis=0), node[0]
+    if pair_weights is None:
+        pair_sum = jnp.sum(pair, axis=0)
+    else:
+        pair_sum = jnp.einsum(
+            "t,tij->ij", jnp.asarray(pair_weights, pair.dtype), pair)
+    return logZ, node, pair_sum, node[0]
 
 
 def hmm_viterbi(log_init, log_trans, log_obs, parallel=False):

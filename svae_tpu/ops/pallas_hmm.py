@@ -309,22 +309,31 @@ def _unpack(x, shape_tail):
 
 
 def hmm_posterior(log_init, log_trans, log_obs, block_b=128,
-                  interpret=False, unroll=None):
+                  interpret=False, unroll=None, pair_weights=None):
     """Batched fused-kernel forward-backward posterior, the drop-in
     batched counterpart of ``ops.hmm.hmm_posterior`` (parity-tested):
     ``(logZ (B,), node (B,T,K), pair_sum (B,K,K), init_marginal (B,K))``.
 
-    ``log_init`` (K,), ``log_trans`` (K,K) broadcast over the batch;
-    ``log_obs`` is (B, T, K). Fully differentiable: alpha/beta carry the
-    hand-derived adjoint kernel; the marginal assembly is cheap XLA.
+    ``log_init`` (K,), ``log_trans`` (K,K) broadcast over the batch --
+    or (B, T-1, K, K) per-sequence time-varying (the ragged-batch path:
+    pad transitions carry a normalized uniform dummy); ``log_obs`` is
+    (B, T, K). ``pair_weights`` (B, T-1) weights the pair-count sum so
+    pad transitions drop out of the M-step stat. Fully differentiable:
+    alpha/beta carry the hand-derived adjoint kernel (the chain elements
+    M are assembled OUTSIDE the custom-VJP primitive, so time-varying
+    transitions need no kernel change -- jax chains dM back through the
+    assembly); the marginal assembly is cheap XLA.
     """
     B, T, K = log_obs.shape
     dt = log_obs.dtype
     log_init = log_init.astype(dt)
     log_trans = log_trans.astype(dt)
     a0 = log_init[None] + log_obs[:, 0]  # (B, K)
-    # chain elements M_t = log_trans + log_obs_{t+1}, per sequence
-    M = log_trans[None, None] + log_obs[:, 1:, None, :]  # (B, T-1, K, K)
+    # chain elements M_t = log_trans_t + log_obs_{t+1}, per sequence
+    if log_trans.ndim == 2:
+        M = log_trans[None, None] + log_obs[:, 1:, None, :]  # (B,T-1,K,K)
+    else:
+        M = log_trans + log_obs[:, 1:, None, :]
 
     pad = (-B) % block_b
     if pad:
@@ -355,4 +364,9 @@ def hmm_posterior(log_init, log_trans, log_obs, block_b=128,
         alpha[:, :-1, :, None] + M + beta[:, 1:, None, :]
         - logZ[:, None, None, None]
     )
-    return logZ, node, jnp.sum(pair, axis=1), node[:, 0]
+    if pair_weights is None:
+        pair_sum = jnp.sum(pair, axis=1)
+    else:
+        pair_sum = jnp.einsum(
+            "bt,btij->bij", jnp.asarray(pair_weights, pair.dtype), pair)
+    return logZ, node, pair_sum, node[:, 0]

@@ -338,3 +338,71 @@ def test_dp_step_mask_fn_wiring():
     out_c = step_b(gnp, (rp, dp_), opt, data_nan, kstep)
     assert all(np.isfinite(np.asarray(l)).all()
                for l in jax.tree.leaves(out_c[:4]))
+
+
+# ---------------------------------------------------------------------------
+# SLDS ragged batches (lengths=)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
+def test_slds_padded_batch_matches_unpadded_sequences(backend):
+    """SLDS ragged-batch theorem: pad + lengths= reproduces the unpadded
+    per-sequence stats and local KL exactly. Pad transitions become
+    normalized dummies on BOTH chains (N(0,I) continuous / uniform rows
+    discrete), so the structured mean-field fixed point on real frames is
+    untouched and every M-step stat excludes the pads."""
+    from svae_tpu.models import slds
+
+    K, d = 3, 2
+    T1, T2 = 5, 9
+    gnp = slds.init_pgm_param(jax.random.PRNGKey(30), K, d)
+    gnp = jax.tree.map(lambda a: a.astype(jnp.float64), gnp)
+    J_full, h_full = _potentials(jax.random.PRNGKey(31), 2, T2, d)
+    seq0 = (J_full[0, :T1], h_full[0, :T1])
+    seq1 = (J_full[1], h_full[1])
+
+    interp = dict(interpret=True) if backend == "pallas" else {}
+    key = jax.random.PRNGKey(32)
+    mf = dict(num_meanfield_iters=3, num_diff_iters=1)
+
+    outs = []
+    for (Js, hs), Ts in ((seq0, T1), (seq1, T2)):
+        o = slds.run_inference(gnp, gnp, (Js[None], hs[None]), key,
+                               num_samples=1, backend=backend, **mf,
+                               **interp)
+        outs.append(o)
+    stats_ref = jax.tree.map(lambda a, b: a + b, outs[0][1], outs[1][1])
+    lkl_ref = outs[0][3] + outs[1][3]
+
+    lengths = jnp.array([T1, T2])
+    _, stats_pad, _, lkl_pad = slds.run_inference(
+        gnp, gnp, (J_full, h_full), key, num_samples=1,
+        backend=backend, lengths=lengths, **mf, **interp)
+
+    tol = dict(rtol=1e-8, atol=1e-9) if backend == "xla" else \
+        dict(rtol=2e-4, atol=1e-5)
+    for a, b in zip(jax.tree.leaves(stats_pad), jax.tree.leaves(stats_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), **tol)
+    np.testing.assert_allclose(float(lkl_pad), float(lkl_ref), **tol)
+
+
+def test_slds_lengths_transition_count():
+    """Pad transitions leave the Dirichlet and MNIW counts: the summed
+    transition-pair stat and the per-state MNIW counts total len-1 per
+    sequence."""
+    from svae_tpu.models import slds
+
+    K, d, B, T = 2, 2, 3, 7
+    gnp = slds.init_pgm_param(jax.random.PRNGKey(33), K, d)
+    gnp = jax.tree.map(lambda a: a.astype(jnp.float64), gnp)
+    J, h = _potentials(jax.random.PRNGKey(34), B, T, d)
+    lengths = jnp.array([4, 7, 2])
+    _, stats, _, _ = slds.run_inference(
+        gnp, gnp, (J, h), jax.random.PRNGKey(35), num_samples=1,
+        num_meanfield_iters=2, lengths=lengths)
+    init_s, trans_s, niw_s, mniw_s = stats
+    expect = float((lengths - 1).sum())
+    assert float(jnp.sum(trans_s)) == pytest.approx(expect, rel=1e-6)
+    assert float(jnp.sum(mniw_s[3])) == pytest.approx(expect, rel=1e-6)
+    assert float(jnp.sum(init_s)) == pytest.approx(B, rel=1e-6)

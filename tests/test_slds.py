@@ -192,3 +192,45 @@ def test_most_likely_states_valid_and_consistent():
     decisive = np.asarray(r.max(axis=-1)) > 0.9
     agree = np.asarray(path) == np.asarray(jnp.argmax(r, axis=-1))
     assert np.all(agree[decisive])
+
+
+def test_predict_shapes_and_sanity():
+    """Forecast API: conditioning-window samples + switching rollout.
+    Shapes, dtypes, state-range validity, and finiteness; the rollout must
+    actually move (nonzero process noise)."""
+    K, d, T, F, S = 3, 2, 8, 5, 4
+    glob, (J, h) = _setup(K=K, d=d, T=T)
+    x_traj, z_traj = slds.predict(glob, (J, h), KEY, num_steps=F,
+                                  num_samples=S, num_meanfield_iters=3)
+    assert x_traj.shape == (S, T + F, d)
+    assert z_traj.shape == (S, T + F)
+    assert z_traj.dtype == jnp.int32
+    assert np.all(np.isfinite(np.asarray(x_traj)))
+    zv = np.asarray(z_traj)
+    assert zv.min() >= 0 and zv.max() < K
+    # forecast frames differ across samples (noise is alive)
+    fut = np.asarray(x_traj[:, T:, :])
+    assert np.std(fut, axis=0).max() > 1e-6
+
+    # batched: leading B axis
+    Jb = jnp.stack([J, J * 1.1])
+    hb = jnp.stack([h, h * 0.9])
+    xb, zb = slds.predict(glob, (Jb, hb), KEY, num_steps=F, num_samples=S,
+                          num_meanfield_iters=2)
+    assert xb.shape == (2, S, T + F, d)
+    assert zb.shape == (2, S, T + F)
+
+
+def test_predict_k1_matches_lds_dynamics_stats():
+    """K=1 switching forecast must follow the same posterior-mean dynamics
+    as the LDS forecaster (single regime: same E[A], E[Sigma])."""
+    from svae_tpu.expfam import mniw
+
+    d, T = 2, 6
+    glob, (J, h) = _setup(K=1, d=d, T=T)
+    _, _, niw_np, mniw_np = glob
+    A_slds, Sig_slds = mniw.posterior_mean_params(mniw_np)
+    lds_glob = (niw_np, jax.tree.map(lambda a: a[0], mniw_np))
+    A_lds, Sig_lds = mniw.posterior_mean_params(lds_glob[1])
+    np.testing.assert_allclose(np.asarray(A_slds[0]), np.asarray(A_lds))
+    np.testing.assert_allclose(np.asarray(Sig_slds[0]), np.asarray(Sig_lds))
