@@ -72,6 +72,16 @@ class MissingLDSConfig(LDSConfig):
 
 
 @dataclass
+class RaggedLDSConfig(LDSConfig):
+    # Variable-length corpus: T becomes the MAX length; sequences are
+    # drawn with lengths in [T_min, T], trained through the
+    # length-bucketed loader (data/loader.py) with exact lengths=
+    # ragged-batch semantics. pad_multiple bounds the compile count.
+    T_min: int = 20
+    pad_multiple: int = 16
+
+
+@dataclass
 class SLDSConfig:
     # BASELINE config 3: switching LDS, HMM x Kalman structured mean-field
     K: int = 4
@@ -135,6 +145,10 @@ PRESETS = {
     "lds_missing": MissingLDSConfig(),
     "lds_missing_smoke": MissingLDSConfig(
         T=30, d_latent=4, num_seqs=32, missing_frac=0.3,
+        train=TrainConfig(num_epochs=2, batch_size=8)),
+    "lds_ragged": RaggedLDSConfig(),
+    "lds_ragged_smoke": RaggedLDSConfig(
+        T=24, T_min=6, d_latent=4, num_seqs=24, pad_multiple=8,
         train=TrainConfig(num_epochs=2, batch_size=8)),
     "slds_synth_smoke": SLDSConfig(
         K=3, T=20, d_latent=3, num_seqs=16,

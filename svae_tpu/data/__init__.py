@@ -10,5 +10,15 @@ from svae_tpu.data.synthetic import (
     rand_lds,
     lds_rollout,
 )
+from svae_tpu.data.loader import (
+    epoch_batches,
+    ragged_epoch_batches,
+    prefetch_to_device,
+    make_loader,
+)
 
-__all__ = ["make_pinwheel", "make_dot_data", "rand_lds", "lds_rollout"]
+__all__ = [
+    "make_pinwheel", "make_dot_data", "rand_lds", "lds_rollout",
+    "epoch_batches", "ragged_epoch_batches", "prefetch_to_device",
+    "make_loader",
+]

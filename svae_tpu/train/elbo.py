@@ -28,7 +28,7 @@ from svae_tpu.utils.pytree import tree_add, tree_sub, tree_scale
 
 
 def make_objective(run_inference, recognize, loglike, pgm_prior, N,
-                   num_samples=1, mask_fn=None):
+                   num_samples=1, mask_fn=None, ragged=False):
     """Build ``objective(pgm_params, net_params, batch, key) ->
     (elbo_per_datapoint, stats)`` where ``net_params = (recogn_params,
     loglike_params)`` and ``stats`` are the (detached) expected sufficient
@@ -39,26 +39,45 @@ def make_objective(run_inference, recognize, loglike, pgm_prior, N,
     net sees ``clean_batch``; ``mask`` is forwarded to ``run_inference``
     (as ``mask=``) and to ``loglike`` (as ``mask=``), so missing frames
     contribute no evidence and no reconstruction term.
+
+    ``ragged``: the batch is a ``(frames (B, T, d_obs), lengths (B,))``
+    pair from a length-bucketed loader (svae_tpu.data.loader); lengths are
+    forwarded to ``run_inference(lengths=)`` for exact padded-batch
+    semantics and pad frames are dropped from the decoder term. Composes
+    with ``mask_fn`` (missing frames inside the real region).
     """
 
     def objective(pgm_params, net_params, batch, key):
         recogn_params, loglike_params = net_params
-        B = batch.shape[0]
+        if ragged:
+            frames, lengths = batch
+        else:
+            frames, lengths = batch, None
+        B = frames.shape[0]
         scale = N / B
         if mask_fn is None:
-            nn_potentials = recognize(recogn_params, batch)
-            samples, stats, global_kl, local_kl = run_inference(
-                pgm_prior, pgm_params, nn_potentials, key, num_samples
-            )
-            ll = loglike(loglike_params, samples, batch)
+            clean, mask = frames, None
         else:
-            clean, mask = mask_fn(batch)
-            nn_potentials = recognize(recogn_params, clean)
-            samples, stats, global_kl, local_kl = run_inference(
-                pgm_prior, pgm_params, nn_potentials, key, num_samples,
-                mask=mask
-            )
-            ll = loglike(loglike_params, samples, clean, mask=mask)
+            clean, mask = mask_fn(frames)
+        nn_potentials = recognize(recogn_params, clean)
+        kw = {}
+        if mask is not None:
+            kw["mask"] = mask
+        if lengths is not None:
+            kw["lengths"] = lengths
+        samples, stats, global_kl, local_kl = run_inference(
+            pgm_prior, pgm_params, nn_potentials, key, num_samples, **kw
+        )
+        ll_mask = mask
+        if lengths is not None:
+            T = clean.shape[-2]
+            lm = (jnp.arange(T)[None, :]
+                  < lengths[:, None]).astype(clean.dtype)
+            ll_mask = lm if ll_mask is None else ll_mask * lm
+        if ll_mask is None:
+            ll = loglike(loglike_params, samples, clean)
+        else:
+            ll = loglike(loglike_params, samples, clean, mask=ll_mask)
         elbo = scale * (ll - local_kl) - global_kl
         terms = {
             "loglike": ll / B,
@@ -72,7 +91,8 @@ def make_objective(run_inference, recognize, loglike, pgm_prior, N,
 
 
 def make_gradfun(run_inference, recognize, loglike, pgm_prior, N,
-                 num_samples=1, natgrad_scale=1.0, mask_fn=None):
+                 num_samples=1, natgrad_scale=1.0, mask_fn=None,
+                 ragged=False):
     """Build the per-step value-and-gradient function.
 
     ``gradfun(pgm_params, net_params, batch, key) ->
@@ -85,10 +105,11 @@ def make_gradfun(run_inference, recognize, loglike, pgm_prior, N,
     Jit/pmap/shard_map-compatible (pure function of its inputs).
     """
     objective = make_objective(run_inference, recognize, loglike, pgm_prior,
-                               N, num_samples, mask_fn=mask_fn)
+                               N, num_samples, mask_fn=mask_fn,
+                               ragged=ragged)
 
     def gradfun(pgm_params, net_params, batch, key):
-        B = batch.shape[0]
+        B = (batch[0] if ragged else batch).shape[0]
 
         def net_obj(net_params):
             return objective(pgm_params, net_params, batch, key)

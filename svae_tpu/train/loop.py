@@ -16,7 +16,7 @@ from svae_tpu.train.optim import make_optimizer
 def make_train_step(run_inference, recognize, loglike, pgm_prior, N,
                     num_samples=1, natgrad_scale=1.0, pgm_step_size=1.0,
                     net_optimizer=None, net_step_size=1e-3, donate=True,
-                    mask_fn=None):
+                    mask_fn=None, ragged=False):
     """Build ``(init_state, train_step)``:
 
       init_state(pgm_params, net_params) -> opt_state
@@ -27,10 +27,14 @@ def make_train_step(run_inference, recognize, loglike, pgm_prior, N,
     (SURVEY.md section 5 observability). ``train_step`` is jitted with
     donated param/state buffers (in-place update on device, no host
     round-trips -- the whole SVI step is one XLA program). ``mask_fn``
-    enables missing-data training (see elbo.make_objective).
+    enables missing-data training; ``ragged`` makes ``batch`` a
+    ``(frames, lengths)`` pair from a length-bucketed loader (see
+    elbo.make_objective; one XLA program per padded T, bounded by the
+    loader's pad_multiple).
     """
     gradfun = make_gradfun(run_inference, recognize, loglike, pgm_prior, N,
-                           num_samples, natgrad_scale, mask_fn=mask_fn)
+                           num_samples, natgrad_scale, mask_fn=mask_fn,
+                           ragged=ragged)
     opt_init, opt_update = make_optimizer(net_optimizer, pgm_step_size,
                                           net_step_size)
 

@@ -15,6 +15,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
 import gmm_pinwheel
 import lds_dots
 import lds_missing
+import lds_ragged
 import slds_synth
 import conv_lds
 import bigdata_dp
@@ -37,6 +38,16 @@ def test_gmm_pinwheel_smoke(tmp_path):
 
 def test_lds_dots_smoke():
     _check(lds_dots.main(["--preset", "lds_dots_smoke"]))
+
+
+def test_lds_ragged_smoke():
+    hist, shapes = lds_ragged.main(["--preset", "lds_ragged_smoke"])
+    _check(hist)
+    # bucketing bounds the compile count: padded T's are pad_multiple
+    # multiples, at most ceil(T / pad_multiple) distinct
+    assert all(s % 8 == 0 for s in shapes)
+    assert len(shapes) <= 3
+    assert np.mean(hist[-3:]) >= np.mean(hist[:3])
 
 
 def test_lds_missing_smoke():
