@@ -33,6 +33,7 @@ from svae_tpu.data import make_dot_data, loader
 from svae_tpu.models import lds
 from svae_tpu.nets import recognition, decoders
 from svae_tpu.train import loop as loop_lib
+from svae_tpu.train import experiment
 
 
 def make_ragged_corpus(seed, num_seqs, T_min, T_max, image_width):
@@ -52,7 +53,7 @@ def main(argv=None):
     cfg = parse_config("lds_ragged", argv)
     tc = cfg.train
     key = jax.random.PRNGKey(tc.seed)
-    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
 
     seqs = make_ragged_corpus(tc.seed, cfg.num_seqs, cfg.T_min, cfg.T,
                               cfg.image_width)
@@ -78,22 +79,18 @@ def main(argv=None):
         donate=False, ragged=True)
     opt_state = opt_init(pgm_params, net_params)
 
-    get_batches = loader.make_loader(
+    base_loader = loader.make_loader(
         seqs, tc.batch_size, seed=tc.seed, pad_multiple=cfg.pad_multiple,
         prefetch=2)
-
-    hist = []
     shapes = set()
-    kk = k5
-    for epoch in range(tc.num_epochs):
-        for frames, lengths in get_batches(epoch):
+
+    def get_batches(epoch):
+        for frames, lengths in base_loader(epoch):
             shapes.add(int(frames.shape[1]))
-            kk, kstep = jax.random.split(kk)
-            pgm_params, net_params, opt_state, elbo, _ = train_step(
-                pgm_params, net_params, opt_state,
-                (frames, jnp.asarray(lengths)), kstep)
-            hist.append(elbo)
-    hist = [float(v) for v in jax.device_get(hist)]
+            yield frames, jnp.asarray(lengths)
+
+    pgm_params, net_params, opt_state, hist = experiment.run_with_loader(
+        tc, train_step, pgm_params, net_params, opt_state, get_batches)
 
     print(f"steps={len(hist)} first_elbo={hist[0]:.4f} "
           f"last_elbo={hist[-1]:.4f} mean_T={mean_T:.1f} "

@@ -28,6 +28,7 @@ try:  # jax >= 0.4.35 exposes shard_map at top level
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map as _shard_map
 
+from svae_tpu.train import elbo as elbo_lib
 from svae_tpu.train.optim import make_optimizer
 from svae_tpu.utils.pytree import tree_add, tree_scale, tree_sub
 
@@ -41,12 +42,15 @@ def shard_key(key, data_axis="data", mc_axis="mc"):
 def make_dp_train_step(run_inference, recognize, loglike, pgm_prior, N,
                        mesh, global_batch, num_samples=1, natgrad_scale=1.0,
                        pgm_step_size=1.0, net_optimizer=None,
-                       net_step_size=1e-3, donate=True, mask_fn=None):
+                       net_step_size=1e-3, donate=True, mask_fn=None,
+                       ragged=False):
     """Build ``(init_state, train_step)`` like train.loop.make_train_step,
     but SPMD over ``mesh`` (axes ``('mc', 'data')``). ``mask_fn`` enables
     missing-data training exactly as in train.elbo.make_objective (applied
     per data shard -- masking is elementwise, so it commutes with the
-    batch sharding).
+    batch sharding); ``ragged`` makes the batch a ``(frames, lengths)``
+    pair from the length-bucketed loader, both sharded over ``data``
+    (lengths are per-sequence, so they ride the same axis).
 
     ``train_step(pgm_params, net_params, opt_state, batch, key)`` takes the
     GLOBAL batch (leading axis ``global_batch``, sharded over ``data``) and
@@ -70,21 +74,10 @@ def make_dp_train_step(run_inference, recognize, loglike, pgm_prior, N,
         # shards are psum-med), and the replicated global-KL is spread
         # across the D data shards so the psum counts it exactly once.
         def shard_objective(net_params):
-            recogn_params, loglike_params = net_params
             scale = N / global_batch
-            if mask_fn is None:
-                pots = recognize(recogn_params, batch)
-                samples, stats, global_kl, local_kl = run_inference(
-                    pgm_prior, pgm_params, pots, k, num_samples
-                )
-                ll = loglike(loglike_params, samples, batch)
-            else:
-                clean, mask = mask_fn(batch)
-                pots = recognize(recogn_params, clean)
-                samples, stats, global_kl, local_kl = run_inference(
-                    pgm_prior, pgm_params, pots, k, num_samples, mask=mask
-                )
-                ll = loglike(loglike_params, samples, clean, mask=mask)
+            ll, stats, global_kl, local_kl, _ = elbo_lib.masked_forward(
+                run_inference, recognize, loglike, pgm_prior, pgm_params,
+                net_params, batch, k, num_samples, mask_fn, ragged)
             obj = (scale * (ll - local_kl) - global_kl / D) / N
             # per-shard metric terms (same normalization as
             # train.elbo.make_objective: per-datapoint over the GLOBAL

@@ -27,6 +27,51 @@ import jax.numpy as jnp
 from svae_tpu.utils.pytree import tree_add, tree_sub, tree_scale
 
 
+def masked_forward(run_inference, recognize, loglike, pgm_prior,
+                   pgm_params, net_params, batch, key, num_samples,
+                   mask_fn=None, ragged=False):
+    """Shared recognition -> inference -> decoder-loglike forward with the
+    mask/lengths plumbing (used by the single-device objective here and
+    the shard_map DP step in parallel/dp.py). Returns
+    ``(ll, stats, global_kl, local_kl, B)``.
+
+    Mask sources compose multiplicatively: ``mask_fn`` marks missing
+    frames inside real data; ``ragged`` batches are ``(frames, lengths)``
+    pairs whose lengths flow to ``run_inference(lengths=)`` (exact
+    padded-batch semantics) and whose pad frames also drop out of the
+    decoder term.
+    """
+    recogn_params, loglike_params = net_params
+    if ragged:
+        frames, lengths = batch
+    else:
+        frames, lengths = batch, None
+    B = frames.shape[0]
+    if mask_fn is None:
+        clean, mask = frames, None
+    else:
+        clean, mask = mask_fn(frames)
+    nn_potentials = recognize(recogn_params, clean)
+    kw = {}
+    if mask is not None:
+        kw["mask"] = mask
+    if lengths is not None:
+        kw["lengths"] = lengths
+    samples, stats, global_kl, local_kl = run_inference(
+        pgm_prior, pgm_params, nn_potentials, key, num_samples, **kw
+    )
+    ll_mask = mask
+    if lengths is not None:
+        T = clean.shape[-2]
+        lm = (jnp.arange(T)[None, :] < lengths[:, None]).astype(clean.dtype)
+        ll_mask = lm if ll_mask is None else ll_mask * lm
+    if ll_mask is None:
+        ll = loglike(loglike_params, samples, clean)
+    else:
+        ll = loglike(loglike_params, samples, clean, mask=ll_mask)
+    return ll, stats, global_kl, local_kl, B
+
+
 def make_objective(run_inference, recognize, loglike, pgm_prior, N,
                    num_samples=1, mask_fn=None, ragged=False):
     """Build ``objective(pgm_params, net_params, batch, key) ->
@@ -48,36 +93,10 @@ def make_objective(run_inference, recognize, loglike, pgm_prior, N,
     """
 
     def objective(pgm_params, net_params, batch, key):
-        recogn_params, loglike_params = net_params
-        if ragged:
-            frames, lengths = batch
-        else:
-            frames, lengths = batch, None
-        B = frames.shape[0]
+        ll, stats, global_kl, local_kl, B = masked_forward(
+            run_inference, recognize, loglike, pgm_prior, pgm_params,
+            net_params, batch, key, num_samples, mask_fn, ragged)
         scale = N / B
-        if mask_fn is None:
-            clean, mask = frames, None
-        else:
-            clean, mask = mask_fn(frames)
-        nn_potentials = recognize(recogn_params, clean)
-        kw = {}
-        if mask is not None:
-            kw["mask"] = mask
-        if lengths is not None:
-            kw["lengths"] = lengths
-        samples, stats, global_kl, local_kl = run_inference(
-            pgm_prior, pgm_params, nn_potentials, key, num_samples, **kw
-        )
-        ll_mask = mask
-        if lengths is not None:
-            T = clean.shape[-2]
-            lm = (jnp.arange(T)[None, :]
-                  < lengths[:, None]).astype(clean.dtype)
-            ll_mask = lm if ll_mask is None else ll_mask * lm
-        if ll_mask is None:
-            ll = loglike(loglike_params, samples, clean)
-        else:
-            ll = loglike(loglike_params, samples, clean, mask=ll_mask)
         elbo = scale * (ll - local_kl) - global_kl
         terms = {
             "loglike": ll / B,

@@ -110,3 +110,78 @@ def run(train_cfg, train_step, pgm_params, net_params, opt_state, data,
              jnp.asarray(final_step)),
         )
     return pgm_params, net_params, opt_state, history
+
+
+def run_with_loader(train_cfg, train_step, pgm_params, net_params,
+                    opt_state, get_batches, extra_callback=None):
+    """Loader-driven variant of :func:`run` for ragged corpora /
+    out-of-HBM datasets (``get_batches(epoch)`` from
+    ``data/loader.make_loader``; pair with ``make_train_step(ragged=True)``
+    for ``(frames, lengths)`` batches).
+
+    Same JSONL metrics cadence as :func:`run`. Checkpoints are
+    EPOCH-granular (the per-epoch step count varies with bucketing):
+    state = (pgm, net, opt, key, epochs_done) written at every epoch end;
+    resume skips completed epochs and continues the advanced key's
+    randomness stream. Returns (pgm_params, net_params, opt_state, history).
+    """
+    if train_cfg.debug_nans:
+        jax.config.update("jax_debug_nans", True)
+
+    key = jax.random.PRNGKey(train_cfg.seed)
+    epochs_done = 0
+    if train_cfg.checkpoint_dir:
+        os.makedirs(train_cfg.checkpoint_dir, exist_ok=True)
+        latest = ckpt_lib.latest(train_cfg.checkpoint_dir,
+                                 prefix="ckpt_epoch_")
+        if latest is not None:
+            state = (pgm_params, net_params, opt_state, key,
+                     jnp.zeros((), jnp.int32))
+            pgm_params, net_params, opt_state, key, ep_arr = (
+                ckpt_lib.restore(latest, state))
+            key = jnp.asarray(key)
+            epochs_done = min(int(ep_arr), train_cfg.num_epochs)
+
+    writer = MetricsWriter(train_cfg.metrics_path)
+    t_last = [time.perf_counter()]
+    every = max(int(train_cfg.metrics_every), 1)
+    step_base = [0]
+
+    def callback(step, elbo, params, terms=None, loop_key=None):
+        now = time.perf_counter()
+        dt = now - t_last[0]
+        t_last[0] = now
+        extra = ({k: float(v) for k, v in terms.items()}
+                 if terms is not None else {})
+        per_step = dt / every
+        writer.write(step_base[0] + step, elbo=elbo,
+                     step_time_s=round(per_step, 5),
+                     steps_per_sec=round(1.0 / max(per_step, 1e-9), 3),
+                     **extra)
+        if extra_callback is not None:
+            extra_callback(step_base[0] + step, elbo, params, terms)
+
+    history = []
+    if train_cfg.profile_dir:
+        jax.profiler.start_trace(train_cfg.profile_dir)
+    try:
+        for epoch in range(epochs_done, train_cfg.num_epochs):
+            (pgm_params, net_params, opt_state, h, key) = (
+                loop_lib.run_loader(
+                    train_step, pgm_params, net_params, opt_state,
+                    lambda _e, ep=epoch: get_batches(ep), key,
+                    num_epochs=1, callback=callback, callback_every=every))
+            history.extend(h)
+            step_base[0] += len(h)
+            if train_cfg.checkpoint_dir:
+                ckpt_lib.save(
+                    os.path.join(train_cfg.checkpoint_dir,
+                                 f"ckpt_epoch_{epoch + 1}.npz"),
+                    (pgm_params, net_params, opt_state, key,
+                     jnp.asarray(epoch + 1)),
+                )
+    finally:
+        if train_cfg.profile_dir:
+            jax.profiler.stop_trace()
+        writer.close()
+    return pgm_params, net_params, opt_state, history

@@ -95,3 +95,34 @@ def run(train_step, pgm_params, net_params, opt_state, data, key, num_epochs,
                          (pgm_params, net_params, opt_state), terms, key)
     history = [float(v) for v in jax.device_get(history)]
     return pgm_params, net_params, opt_state, history, key
+
+
+def run_loader(train_step, pgm_params, net_params, opt_state, get_batches,
+               key, num_epochs, callback=None, callback_every=1):
+    """Epoch loop driven by a loader factory (``data/loader.make_loader``):
+    each epoch iterates ``get_batches(epoch)`` -- already shuffled,
+    length-bucketed, and device-prefetched by the loader -- so ragged
+    corpora and out-of-HBM datasets train through the same callback/metrics
+    contract as :func:`run`. Batches may be ``(frames, lengths)`` pairs
+    (pair with ``make_train_step(ragged=True)``).
+
+    Unlike :func:`run`, the total step count is not known up front (bucket
+    sizes vary per epoch), so the callback fires on the cadence only; the
+    caller flushes final state itself. Returns
+    (pgm_params, net_params, opt_state, elbo_history, key).
+    """
+    history = []
+    step_idx = 0
+    for epoch in range(num_epochs):
+        for batch in get_batches(epoch):
+            key, kstep = jax.random.split(key)
+            pgm_params, net_params, opt_state, elbo, terms = train_step(
+                pgm_params, net_params, opt_state, batch, kstep
+            )
+            history.append(elbo)  # device scalar -- no host sync
+            step_idx += 1
+            if callback is not None and step_idx % callback_every == 0:
+                callback(step_idx - 1, float(elbo),
+                         (pgm_params, net_params, opt_state), terms, key)
+    history = [float(v) for v in jax.device_get(history)]
+    return pgm_params, net_params, opt_state, history, key

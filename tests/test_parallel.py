@@ -195,3 +195,53 @@ class TestInitializeFailureModel:
                                     timeout_secs=11) is True
         assert seen["initialization_timeout"] == 11
         assert seen["num_processes"] == 2
+
+
+def test_dp_ragged_full_lengths_equals_dense():
+    """DP ragged invariance: a ragged batch whose lengths all equal T must
+    produce the SAME step as the dense DP step (identical shard keys, so
+    bitwise up to reduction order) -- and a mixed-lengths batch must run
+    finite with pad-free transition counts."""
+    from functools import partial
+    from svae_tpu.models import lds as lds_model
+
+    d, d_obs, B, T, N = 2, 4, 16, 6, 64
+    k = jax.random.PRNGKey(40)
+    k1, k2, k3, k4 = jax.random.split(k, 4)
+    pgm_prior = lds_model.init_pgm_param(k1, d, dtype=jnp.float64)
+    pgm_params = lds_model.init_pgm_param(k2, d, dtype=jnp.float64)
+    net_params = (
+        recognition.init_mlp_recognize(k3, d_obs, (8,), d,
+                                       dtype=jnp.float64),
+        decoders.init_mlp_decode(k4, d, (8,), d_obs, dtype=jnp.float64),
+    )
+    data = jax.random.normal(jax.random.PRNGKey(41), (B, T, d_obs),
+                             jnp.float64)
+    mesh = make_mesh(data=4, mc=1)
+
+    opt_init, dense_step = make_dp_train_step(
+        lds_model.run_inference, recognition.mlp_recognize,
+        decoders.mlp_loglike, pgm_prior, N, mesh, B, donate=False)
+    _, ragged_step = make_dp_train_step(
+        lds_model.run_inference, recognition.mlp_recognize,
+        decoders.mlp_loglike, pgm_prior, N, mesh, B, donate=False,
+        ragged=True)
+    s0 = opt_init(pgm_params, net_params)
+
+    key = jax.random.PRNGKey(42)
+    out_d = dense_step(pgm_params, net_params, s0, data, key)
+    full = jnp.full((B,), T, jnp.int32)
+    out_r = ragged_step(pgm_params, net_params, s0, (data, full), key)
+    for a, b in zip(jax.tree.leaves(out_d[:4]), jax.tree.leaves(out_r[:4])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-9, atol=1e-9)
+
+    # mixed lengths: finite, and terms dict intact
+    lens = jnp.asarray([T, T - 1, T - 2, 3] * (B // 4), jnp.int32)
+    p2, n2, s2, elbo2, terms2 = ragged_step(pgm_params, net_params, s0,
+                                            (data, lens), key)
+    assert np.isfinite(float(elbo2))
+    assert set(terms2) >= {"loglike", "local_kl", "global_kl",
+                           "net_grad_norm"}
+    assert all(np.all(np.isfinite(np.asarray(x)))
+               for x in jax.tree.leaves((p2, n2)))

@@ -186,3 +186,64 @@ def test_named_net_optimizer_presets():
                                    np.asarray(pgm[0] + 0.1))
     with _pytest.raises(ValueError):
         optim.get_net_optimizer("nope")
+
+
+def test_loader_runner_resume_continues_trajectory(tmp_path):
+    """run_with_loader: epoch-granular checkpoint/resume on a ragged
+    length-bucketed corpus reproduces the uninterrupted trajectory exactly
+    (params + RNG stream continuation), including the JSONL metrics path."""
+    import json
+    from functools import partial
+    from svae_tpu.config import TrainConfig
+    from svae_tpu.data import loader
+    from svae_tpu.models import lds as lds_model
+    from svae_tpu.train import experiment
+
+    d, d_obs = 2, 4
+    rng = np.random.RandomState(0)
+    seqs = [rng.randn(rng.randint(4, 10), d_obs).astype(np.float64)
+            for _ in range(12)]
+    N = len(seqs)
+    k = jax.random.PRNGKey(9)
+    k1, k2, k3, k4 = jax.random.split(k, 4)
+    pgm_prior = lds_model.init_pgm_param(k1, d, dtype=jnp.float64)
+    pgm_params = lds_model.init_pgm_param(k2, d, dtype=jnp.float64)
+    net_params = (
+        recognition.init_mlp_recognize(k3, d_obs, (8,), d,
+                                       dtype=jnp.float64),
+        decoders.init_mlp_decode(k4, d, (8,), d_obs, dtype=jnp.float64),
+    )
+    opt_init, train_step = loop_lib.make_train_step(
+        lds_model.run_inference, recognition.mlp_recognize,
+        decoders.mlp_loglike, pgm_prior, N, num_samples=1, donate=False,
+        ragged=True)
+    get_batches_np = loader.make_loader(seqs, 4, seed=5, pad_multiple=4,
+                                        prefetch=0)
+
+    def get_batches(epoch):
+        for frames, lengths in get_batches_np(epoch):
+            yield jnp.asarray(frames), jnp.asarray(lengths)
+
+    def cfg(num_epochs, ckdir, metrics=None):
+        return TrainConfig(num_epochs=num_epochs, batch_size=4,
+                           checkpoint_dir=ckdir, seed=3,
+                           metrics_path=metrics)
+
+    s0 = opt_init(pgm_params, net_params)
+    mpath = str(tmp_path / "m.jsonl")
+    _, _, _, hist_full = experiment.run_with_loader(
+        cfg(4, str(tmp_path / "full"), mpath), train_step, pgm_params,
+        net_params, s0, get_batches)
+    lines = [json.loads(l) for l in open(mpath)]
+    assert len(lines) == len(hist_full)
+    assert all(np.isfinite(l["elbo"]) for l in lines)
+    assert lines[-1]["step"] == len(hist_full) - 1  # global step tracking
+
+    ckdir = str(tmp_path / "pre")
+    s0 = opt_init(pgm_params, net_params)
+    _, _, _, hist_a = experiment.run_with_loader(
+        cfg(2, ckdir), train_step, pgm_params, net_params, s0, get_batches)
+    s0 = opt_init(pgm_params, net_params)
+    _, _, _, hist_b = experiment.run_with_loader(
+        cfg(4, ckdir), train_step, pgm_params, net_params, s0, get_batches)
+    np.testing.assert_allclose(hist_a + hist_b, hist_full, rtol=1e-12)
