@@ -17,7 +17,6 @@ coordinates, so every device draws independent particles and the result is
 independent of how the mesh is laid out across hosts.
 """
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

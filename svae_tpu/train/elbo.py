@@ -19,7 +19,6 @@ Two gradient channels (SURVEY.md section 3.4):
      ELBO through the reparameterized samples and the local KL.
 """
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

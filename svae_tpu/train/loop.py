@@ -3,8 +3,6 @@ callbacks (the reference's optimizer-callback design kept deliberately --
 reference: svae/optimizers.py callback param; SURVEY.md section 5).
 """
 
-import time
-from functools import partial
 
 import jax
 import jax.numpy as jnp
