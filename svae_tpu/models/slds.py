@@ -436,11 +436,14 @@ def _sequence_inference(global_natparam, nn_potentials, key, num_samples,
 
 @f32_linalg
 def sample_states(global_natparam, nn_potentials, key, num_samples=(),
-                  num_meanfield_iters=15, parallel=False):
+                  num_meanfield_iters=15, parallel=False, mask=None):
     """Posterior samples of the DISCRETE chain z_{1:T} under the converged
     structured mean-field q(z) (Gumbel-argmax backward sampling through the
     HMM factor). Returns int32 paths shaped num_samples + (T,).
+    ``mask`` marks missing frames (evidence zeroed, as in run_inference).
     """
+    if mask is not None:
+        nn_potentials = lds_model.mask_potentials(nn_potentials, mask)
     hmm_post, lds_post, _ = local_meanfield(
         global_natparam, nn_potentials, num_iters=num_meanfield_iters,
         num_diff_iters=0, parallel=parallel)
@@ -458,12 +461,15 @@ def sample_states(global_natparam, nn_potentials, key, num_samples=(),
 
 @f32_linalg
 def most_likely_states(global_natparam, nn_potentials,
-                       num_meanfield_iters=15, parallel=False):
+                       num_meanfield_iters=15, parallel=False, mask=None):
     """MAP discrete-state path under the converged structured mean-field
     q(z) (Viterbi decode of the HMM factor with the state-averaged Gaussian
     pair energies as observations) -- the eval-side segmentation API
     (reference: the SLDS experiments' state-sequence plots). Returns an
-    int32 path (T,); ``vmap`` for a batch."""
+    int32 path (T,); ``vmap`` for a batch. ``mask`` marks missing frames
+    (evidence zeroed; segmentation bridges them through the dynamics)."""
+    if mask is not None:
+        nn_potentials = lds_model.mask_potentials(nn_potentials, mask)
     hmm_post, lds_post, _ = local_meanfield(
         global_natparam, nn_potentials, num_iters=num_meanfield_iters,
         num_diff_iters=0, parallel=parallel)

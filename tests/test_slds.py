@@ -234,3 +234,19 @@ def test_predict_k1_matches_lds_dynamics_stats():
     A_lds, Sig_lds = mniw.posterior_mean_params(lds_glob[1])
     np.testing.assert_allclose(np.asarray(A_slds[0]), np.asarray(A_lds))
     np.testing.assert_allclose(np.asarray(Sig_slds[0]), np.asarray(Sig_lds))
+
+
+def test_segmentation_apis_accept_mask():
+    K, d, T = 2, 2, 6
+    glob, (J, h) = _setup(K=K, d=d, T=T)
+    mask = jnp.ones((T,)).at[2].set(0.0)
+    path = slds.most_likely_states(glob, (J, h), num_meanfield_iters=2,
+                                   mask=mask)
+    assert path.shape == (T,) and int(path.max()) < K
+    zs = slds.sample_states(glob, (J, h), KEY, num_samples=3,
+                            num_meanfield_iters=2, mask=mask)
+    assert zs.shape == (3, T) and int(zs.max()) < K
+    # masked call == manual zeroing (decode is deterministic)
+    path_manual = slds.most_likely_states(
+        glob, lds.mask_potentials((J, h), mask), num_meanfield_iters=2)
+    np.testing.assert_array_equal(np.asarray(path), np.asarray(path_manual))
