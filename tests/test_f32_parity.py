@@ -70,3 +70,53 @@ def test_f32_elbo_matches_f64_within_tolerance():
     for a, b in zip(jax.tree.leaves(stats32), jax.tree.leaves(stats64)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-2,
                                    atol=2e-3)
+
+
+def test_f32_ragged_padding_theorem_lds_and_slds():
+    """The ragged-batch exactness theorem holds at f32 (the production
+    dtype): padded stats/local-KL track the unpadded ones at f32 reduction
+    tolerance on both model families (XLA backend; the on-chip gate
+    re-checks the Pallas backend in benchmarks/onchip_parity.py)."""
+    from svae_tpu.models import lds, slds
+
+    rng = np.random.RandomState(7)
+    d, T1, T2 = 3, 6, 10
+    Jb = (np.log1p(np.exp(rng.randn(2, T2, d))) + 0.4).astype(np.float32)
+    hb = rng.randn(2, T2, d).astype(np.float32)
+    Jb32, hb32 = jnp.asarray(Jb), jnp.asarray(hb)
+    key = jax.random.PRNGKey(0)
+    lengths = jnp.array([T1, T2])
+
+    glob = jax.tree.map(lambda a: a.astype(jnp.float32),
+                        lds.init_pgm_param(jax.random.PRNGKey(1), d,
+                                           dtype=jnp.float64))
+    outs = [lds.run_inference(glob, glob, (Jb32[:1, :T1], hb32[:1, :T1]),
+                              key, 1),
+            lds.run_inference(glob, glob, (Jb32[1:], hb32[1:]), key, 1)]
+    stats_ref = jax.tree.map(lambda a, b: a + b, outs[0][1], outs[1][1])
+    _, stats_pad, _, lkl_pad = lds.run_inference(
+        glob, glob, (Jb32, hb32), key, 1, lengths=lengths)
+    lkl_ref = outs[0][3] + outs[1][3]
+    for a, b in zip(jax.tree.leaves(stats_pad), jax.tree.leaves(stats_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(float(lkl_pad), float(lkl_ref), rtol=2e-4)
+
+    K = 2
+    sglob = jax.tree.map(
+        lambda a: a.astype(jnp.float32),
+        slds.init_pgm_param(jax.random.PRNGKey(2), K, d))
+    mf = dict(num_samples=1, num_meanfield_iters=2, num_diff_iters=1)
+    souts = [slds.run_inference(sglob, sglob,
+                                (Jb32[:1, :T1], hb32[:1, :T1]), key, **mf),
+             slds.run_inference(sglob, sglob, (Jb32[1:], hb32[1:]), key,
+                                **mf)]
+    sstats_ref = jax.tree.map(lambda a, b: a + b, souts[0][1], souts[1][1])
+    _, sstats_pad, _, slkl_pad = slds.run_inference(
+        sglob, sglob, (Jb32, hb32), key, lengths=lengths, **mf)
+    slkl_ref = souts[0][3] + souts[1][3]
+    for a, b in zip(jax.tree.leaves(sstats_pad),
+                    jax.tree.leaves(sstats_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4)
+    np.testing.assert_allclose(float(slkl_pad), float(slkl_ref), rtol=5e-4)
