@@ -37,8 +37,9 @@ from svae_tpu.train import experiment
 
 
 def make_ragged_corpus(seed, num_seqs, T_min, T_max, image_width):
-    """Variable-length 1D dot videos: each sequence's length is uniform in
-    [T_min, T_max] (a long master rollout is cut per sequence)."""
+    """Variable-length 1D dot videos: each sequence is an INDEPENDENT
+    bouncing-dot rollout (own initial position/velocity) whose length is
+    uniform in [T_min, T_max]."""
     rng = np.random.RandomState(seed)
     seqs = []
     for i in range(num_seqs):

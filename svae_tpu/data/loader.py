@@ -40,13 +40,15 @@ def epoch_batches(data, batch_size, seed=0, epoch=0, drop_remainder=True):
     with a shared leading axis). Order is a pure function of
     ``(seed, epoch)``.
     """
-    leaves = jax.tree.leaves(data)
-    n = int(np.asarray(leaves[0]).shape[0])
+    # convert leaves ONCE per epoch (for device-resident inputs this is one
+    # D2H fetch, not one per batch), then index host-side
+    data_np = jax.tree.map(np.asarray, data)
+    n = int(jax.tree.leaves(data_np)[0].shape[0])
     perm = _rng(seed, epoch).permutation(n)
     stop = (n - batch_size + 1) if drop_remainder else n
     for lo in range(0, max(stop, 0), batch_size):
         idx = perm[lo:lo + batch_size]
-        yield jax.tree.map(lambda a: np.asarray(a)[idx], data)
+        yield jax.tree.map(lambda a: a[idx], data_np)
 
 
 def _round_up(t, m):
@@ -70,6 +72,8 @@ def ragged_epoch_batches(sequences, batch_size, seed=0, epoch=0,
     ``max_T / pad_multiple`` distinct XLA programs (in practice a
     handful), instead of one per distinct length (pad_multiple=1) or
     maximal padding (pad_multiple=max_T -- the pad-everything strategy).
+    With ``drop_remainder=False`` a non-divisible corpus adds one more
+    program for the smaller tail batch (see make_loader on when to drop).
     """
     from svae_tpu.data.masking import pad_batch
 
@@ -127,6 +131,13 @@ def make_loader(data_or_sequences, batch_size, seed=0, *, ragged=None,
     Ragged corpus (list of (T_i, d) arrays; autodetected, or force with
     ``ragged=``): yields length-bucketed ``(batch, lengths)`` pairs.
     ``prefetch=0`` disables device prefetch (host arrays come out as-is).
+
+    Ragged default is ``drop_remainder=False`` (every sequence seen each
+    epoch; the single-device objective scales by the actual batch size, so
+    a smaller tail batch is exact -- at the cost of one extra compiled
+    program). For the shard_map DP step (``make_dp_train_step``, which is
+    built for a FIXED global batch) pass ``drop_remainder=True`` so every
+    batch divides the data axis and carries the assumed size.
     """
     if ragged is None:
         ragged = isinstance(data_or_sequences, (list, tuple))

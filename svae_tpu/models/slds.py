@@ -434,6 +434,23 @@ def _sequence_inference(global_natparam, nn_potentials, key, num_samples,
     return samples, stats, local_kl
 
 
+def _z_chain_inputs(global_natparam, moments):
+    """``(e_pi0, e_Pi, log_obs)`` of the discrete chain under the
+    converged mean-field: the state-averaged Gaussian pair energies
+    evaluated at q(x)'s ``moments`` = (Ex, ExxT, Exnxt) become the HMM
+    observation potentials (shared by sample_states / most_likely_states /
+    predict)."""
+    init_dir, trans_dir, _, mniw_np = global_natparam
+    e_pi0 = dirichlet.expectedstats(init_dir)
+    e_Pi = dirichlet.expectedstats(trans_dir)
+    E_pair = mniw.expected_pair_potential(mniw_np)
+    Ex, ExxT, Exnxt = moments
+    L = _pair_energies(E_pair, _x_pair_stats(Ex, ExxT, Exnxt))
+    K = e_pi0.shape[0]
+    log_obs = jnp.concatenate([jnp.zeros((1, K), L.dtype), L], axis=0)
+    return e_pi0, e_Pi, log_obs
+
+
 @f32_linalg
 def sample_states(global_natparam, nn_potentials, key, num_samples=(),
                   num_meanfield_iters=15, parallel=False, mask=None):
@@ -444,17 +461,10 @@ def sample_states(global_natparam, nn_potentials, key, num_samples=(),
     """
     if mask is not None:
         nn_potentials = lds_model.mask_potentials(nn_potentials, mask)
-    hmm_post, lds_post, _ = local_meanfield(
+    _, lds_post, _ = local_meanfield(
         global_natparam, nn_potentials, num_iters=num_meanfield_iters,
         num_diff_iters=0, parallel=parallel)
-    _, _, (Ex, ExxT, Exnxt) = lds_post
-    init_dir, trans_dir, _, mniw_np = global_natparam
-    e_pi0 = dirichlet.expectedstats(init_dir)
-    e_Pi = dirichlet.expectedstats(trans_dir)
-    E_pair = mniw.expected_pair_potential(mniw_np)
-    L = _pair_energies(E_pair, _x_pair_stats(Ex, ExxT, Exnxt))
-    K = e_pi0.shape[0]
-    log_obs = jnp.concatenate([jnp.zeros((1, K), L.dtype), L], axis=0)
+    e_pi0, e_Pi, log_obs = _z_chain_inputs(global_natparam, lds_post[2])
     return hmm.hmm_sample(e_pi0, e_Pi, log_obs, key, num_samples,
                           parallel=parallel)
 
@@ -470,17 +480,10 @@ def most_likely_states(global_natparam, nn_potentials,
     (evidence zeroed; segmentation bridges them through the dynamics)."""
     if mask is not None:
         nn_potentials = lds_model.mask_potentials(nn_potentials, mask)
-    hmm_post, lds_post, _ = local_meanfield(
+    _, lds_post, _ = local_meanfield(
         global_natparam, nn_potentials, num_iters=num_meanfield_iters,
         num_diff_iters=0, parallel=parallel)
-    _, _, (Ex, ExxT, Exnxt) = lds_post
-    init_dir, trans_dir, _, mniw_np = global_natparam
-    e_pi0 = dirichlet.expectedstats(init_dir)
-    e_Pi = dirichlet.expectedstats(trans_dir)
-    E_pair = mniw.expected_pair_potential(mniw_np)
-    L = _pair_energies(E_pair, _x_pair_stats(Ex, ExxT, Exnxt))
-    K = e_pi0.shape[0]
-    log_obs = jnp.concatenate([jnp.zeros((1, K), L.dtype), L], axis=0)
+    e_pi0, e_Pi, log_obs = _z_chain_inputs(global_natparam, lds_post[2])
     path, _ = hmm.hmm_viterbi(e_pi0, e_Pi, log_obs, parallel=parallel)
     return path
 
@@ -528,20 +531,16 @@ def predict(global_natparam, nn_potentials, key, num_steps, num_samples=1,
         S = tuple(num_samples)
 
     def one(p, k):
-        hmm_post, lds_post, _ = local_meanfield(
+        _, lds_post, _ = local_meanfield(
             global_natparam, p, num_iters=num_meanfield_iters,
             num_diff_iters=0, parallel=parallel)
-        _, (ci, pairs_bar, nodes), (Ex, ExxT, Exnxt) = lds_post
+        _, (ci, pairs_bar, nodes), moments = lds_post
         k1, k2, k3, k4 = jax.random.split(k, 4)
         xs = kalman.lds_sample(ci, pairs_bar, nodes, k1, S,
                                parallel=parallel)  # S + (T, d)
         # discrete posterior paths under the converged mean-field energies
-        e_pi0 = dirichlet.expectedstats(init_dir)
-        e_Pi = dirichlet.expectedstats(trans_dir)
-        E_pair = mniw.expected_pair_potential(mniw_np)
-        L = _pair_energies(E_pair, _x_pair_stats(Ex, ExxT, Exnxt))
+        e_pi0, e_Pi, log_obs = _z_chain_inputs(global_natparam, moments)
         K = e_pi0.shape[0]
-        log_obs = jnp.concatenate([jnp.zeros((1, K), L.dtype), L], axis=0)
         zs = hmm.hmm_sample(e_pi0, e_Pi, log_obs, k2, S,
                             parallel=parallel)  # S + (T,) int32
 

@@ -61,8 +61,9 @@ def masked_forward(run_inference, recognize, loglike, pgm_prior,
     )
     ll_mask = mask
     if lengths is not None:
-        T = clean.shape[-2]
-        lm = (jnp.arange(T)[None, :] < lengths[:, None]).astype(clean.dtype)
+        from svae_tpu.models.lds import _length_mask  # single convention
+        lm = _length_mask(lengths, clean.shape[0], clean.shape[-2],
+                          clean.dtype)
         ll_mask = lm if ll_mask is None else ll_mask * lm
     if ll_mask is None:
         ll = loglike(loglike_params, samples, clean)

@@ -121,31 +121,34 @@ def run_with_loader(train_cfg, train_step, pgm_params, net_params,
 
     Same JSONL metrics cadence as :func:`run`. Checkpoints are
     EPOCH-granular (the per-epoch step count varies with bucketing):
-    state = (pgm, net, opt, key, epochs_done) written at every epoch end;
-    resume skips completed epochs and continues the advanced key's
-    randomness stream. Returns (pgm_params, net_params, opt_state, history).
+    state = (pgm, net, opt, key, epochs_done, steps_done) written at every
+    epoch end; resume skips completed epochs, continues the advanced key's
+    randomness stream, and continues the global metrics step numbering.
+    Returns (pgm_params, net_params, opt_state, history).
     """
     if train_cfg.debug_nans:
         jax.config.update("jax_debug_nans", True)
 
     key = jax.random.PRNGKey(train_cfg.seed)
     epochs_done = 0
+    steps_done = 0
     if train_cfg.checkpoint_dir:
         os.makedirs(train_cfg.checkpoint_dir, exist_ok=True)
         latest = ckpt_lib.latest(train_cfg.checkpoint_dir,
                                  prefix="ckpt_epoch_")
         if latest is not None:
             state = (pgm_params, net_params, opt_state, key,
-                     jnp.zeros((), jnp.int32))
-            pgm_params, net_params, opt_state, key, ep_arr = (
+                     jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+            pgm_params, net_params, opt_state, key, ep_arr, st_arr = (
                 ckpt_lib.restore(latest, state))
             key = jnp.asarray(key)
             epochs_done = min(int(ep_arr), train_cfg.num_epochs)
+            steps_done = int(st_arr)
 
     writer = MetricsWriter(train_cfg.metrics_path)
     t_last = [time.perf_counter()]
     every = max(int(train_cfg.metrics_every), 1)
-    step_base = [0]
+    step_base = [steps_done]
 
     def callback(step, elbo, params, terms=None, loop_key=None):
         now = time.perf_counter()
@@ -178,7 +181,7 @@ def run_with_loader(train_cfg, train_step, pgm_params, net_params,
                     os.path.join(train_cfg.checkpoint_dir,
                                  f"ckpt_epoch_{epoch + 1}.npz"),
                     (pgm_params, net_params, opt_state, key,
-                     jnp.asarray(epoch + 1)),
+                     jnp.asarray(epoch + 1), jnp.asarray(step_base[0])),
                 )
     finally:
         if train_cfg.profile_dir:

@@ -99,9 +99,6 @@ def test_make_loader_ragged_end_to_end_inference():
     rng = np.random.RandomState(4)
     seqs = [rng.randn(rng.randint(3, 12), d).astype(np.float64)
             for _ in range(9)]
-    # recognition potentials stand-in: softplus(x) as J, x as h
-    pots = [np.stack([np.log1p(np.exp(s)) + 0.3, s], 0) for s in seqs]
-
     gnp = lds.init_pgm_param(jax.random.PRNGKey(5), d, dtype=jnp.float64)
     ld = loader.make_loader(seqs, 4, seed=6, pad_multiple=4)
     n_seen = 0
