@@ -41,10 +41,11 @@ def _lump_time(run_iters, iters):
     twice and keep the slower pass. Per-step fencing is wrong on this
     setup (the axon tunnel costs ~25 ms per sync round-trip, swamping
     sub-10 ms kernels); chained lump timing measures sustained device
-    throughput, and taking the slower of two passes rejects bogus-fast
-    artifacts seen under host CPU contention."""
+    throughput, and taking the slowest of three passes rejects bogus-fast
+    artifacts seen under host CPU contention (a two-pass max was observed
+    to let a 20x-fast artifact through once)."""
     dts = []
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         out = run_iters(iters)
         jax.block_until_ready(out)
@@ -336,6 +337,11 @@ def main():
     result = {}
     train_seqs, step_dt = measure_tpu_steps(backend)
     estep_seqs = measure_tpu_estep(backend)
+    # physical consistency: train step contains the E-step (see the B=256
+    # guard below) -- re-measure the pair on a timing artifact
+    if train_seqs > estep_seqs * 1.1:
+        train_seqs, step_dt = measure_tpu_steps(backend)
+        estep_seqs = measure_tpu_estep(backend)
     cpu_seqs = measure_cpu_oracle()
     result = {
         # the BASELINE.json metric pair: E-step seqs/sec (chip, production
@@ -362,6 +368,12 @@ def main():
         # kernel layout (and per-chip throughput keeps scaling to B=256)
         tr256, _ = measure_tpu_steps(backend, B=256)
         es256 = measure_tpu_estep(backend, B=256)
+        # physical consistency: the train step CONTAINS the E-step, so a
+        # train-step throughput above the E-step's is a timing artifact
+        # (observed once through the axon tunnel) -- re-measure
+        if tr256 > es256 * 1.1:
+            tr256, _ = measure_tpu_steps(backend, B=256)
+            es256 = measure_tpu_estep(backend, B=256)
         result["train_step_b256_seqs_per_sec"] = round(tr256, 2)
         result["estep_b256_seqs_per_sec"] = round(es256, 2)
     except Exception:

@@ -1,6 +1,7 @@
 """Serving-side benchmark: streaming online-filter step throughput.
 
-Measures `models/lds.make_online_filter` driven the way a serving process
+Measures `models/lds.make_online_filter` (and the switching-regime
+`models/slds.make_online_filter`, K=4) driven the way a serving process
 would: a batch of independent streams advanced one frame per dispatch
 (`jax.vmap(step_fn)` under jit), timed as chained async dispatches fenced
 once. Reports per-dispatch latency (the interactive serving number) and
@@ -59,6 +60,36 @@ def measure(n_streams, key):
     return dt
 
 
+def measure_slds(n_streams, key, K=4):
+    from svae_tpu.models import slds
+
+    glob = slds.init_pgm_param(jax.random.PRNGKey(0), K, D)
+    init_fn, step_fn = slds.make_online_filter(glob)
+    k1, k2 = jax.random.split(key)
+    shp = (D,) if n_streams == 1 else (n_streams, D)
+    Jd = jax.nn.softplus(jax.random.normal(k1, shp)) + 0.5
+    hv = jax.random.normal(k2, shp)
+    if n_streams == 1:
+        state, _ = jax.jit(init_fn)((Jd, hv))
+        step = jax.jit(step_fn)
+    else:
+        state, _ = jax.jit(jax.vmap(init_fn))((Jd, hv))
+        step = jax.jit(jax.vmap(step_fn))
+    state, out = step(state, (Jd, hv))
+    jax.block_until_ready(out)
+    dts = []
+    for _ in range(2):
+        s = state
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            s, out = step(s, (Jd, hv))
+        jax.block_until_ready(out)
+        dts.append((time.perf_counter() - t0) / ITERS)
+    dt = max(dts)
+    assert bool(np.isfinite(float(jnp.sum(out[0]))))
+    return dt
+
+
 def main():
     report = {"device": str(jax.devices()[0]),
               "on_tpu": jax.devices()[0].platform == "tpu", "d": D}
@@ -67,6 +98,12 @@ def main():
         report[f"streams_{n}_step_us"] = round(dt * 1e6, 1)
         report[f"streams_{n}_frames_per_sec"] = round(n / dt, 1)
         print(f"{n} streams: {dt * 1e6:.1f} us/dispatch, "
+              f"{n / dt:,.0f} frames/s", flush=True)
+    for n in (1, 128):
+        dt = measure_slds(n, jax.random.PRNGKey(100 + n))
+        report[f"slds_streams_{n}_step_us"] = round(dt * 1e6, 1)
+        report[f"slds_streams_{n}_frames_per_sec"] = round(n / dt, 1)
+        print(f"SLDS {n} streams: {dt * 1e6:.1f} us/dispatch, "
               f"{n / dt:,.0f} frames/s", flush=True)
 
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "out")

@@ -647,3 +647,132 @@ def run_inference(prior_natparam, global_natparam, nn_potentials, key,
             num_meanfield_iters, num_diff_iters, parallel=parallel)
     global_kl = prior_kl(global_natparam, prior_natparam)
     return samples, stats, global_kl, local_kl
+
+
+# --------------------------------------------------------------------------
+# streaming (serving-side) switching filter
+# --------------------------------------------------------------------------
+
+
+def make_online_filter(global_natparam, dtype=jnp.float32):
+    """Streaming switching-state filter: consume one frame's recognition
+    potentials at a time, emit per-regime probabilities, the filtered
+    latent posterior, and the incremental predictive log-evidence
+    ``log p(y_t | y_{1:t-1})`` (online surprise / anomaly score).
+
+    Greenfield vs the reference (svae/models/slds.py is batch-only, like
+    the LDS module); the switching analogue of
+    ``models/lds.make_online_filter``. Exact inference in an SLDS is
+    exponential in T, so this is the standard assumed-density /
+    interacting-multiple-model (GPB2) collapse: carry one filtered
+    Gaussian per regime plus regime weights, expand the K x K transition
+    branches with the expected dynamics under q(theta) (the same
+    ``exp E[log]`` potentials the structured mean-field uses), and
+    moment-match each destination regime's branch mixture back to a
+    single Gaussian. At K=1 every step is exact and reproduces the LDS
+    online filter (tested, tests/test_slds.py).
+
+    Returns ``(init_fn, step_fn)``:
+
+      state, (w, mean, cov, logev) = init_fn((J_diag_1, h_1))
+      state, (w, mean, cov, logev) = step_fn(state, (J_diag_t, h_t))
+
+    ``w`` is the regime posterior q(z_t) (shape (K,); ``argmax`` for
+    streaming segmentation), ``(mean, cov)`` the regime-collapsed filtered
+    posterior of x_t, ``logev`` the predictive log-evidence increment.
+    ``jax.vmap`` both functions for a batch of streams; wrap ``step_fn``
+    in ``jax.lax.scan`` to replay a stored sequence.
+    """
+    from svae_tpu.utils import smallchol
+    from svae_tpu.utils.psd import symmetrize
+
+    init_dir, trans_dir, niw_np, mniw_np = global_natparam
+    e_pi0 = dirichlet.expectedstats(init_dir).astype(dtype)    # (K,)
+    e_Pi = dirichlet.expectedstats(trans_dir).astype(dtype)    # (K,K)
+    (I1, I2), Ic = niw.expected_gaussian_natparam(niw_np)
+    E1, E2, E3, Ec = mniw.expected_pair_potential(mniw_np)     # (K,d,d)x3,(K,)
+    I1, I2, Ic, E1, E2, E3, Ec = jax.tree.map(
+        lambda a: a.astype(dtype), (I1, I2, Ic, E1, E2, E3, Ec))
+    K, d = E2.shape[0], E2.shape[-1]
+
+    def _mean_cov(J, h):
+        L = smallchol.chol(symmetrize(J))
+        mean = smallchol.cho_solve(L, h)
+        eye = jnp.broadcast_to(jnp.eye(d, dtype=J.dtype), J.shape)
+        cov = smallchol.cho_solve_mat(L, eye)
+        return mean, symmetrize(cov)
+
+    def _node(potentials):
+        J_diag, h = potentials
+        return -0.5 * jnp.diag(J_diag.astype(dtype)), h.astype(dtype)
+
+    def _collapse(w, mean, cov):
+        """Moment-match a weighted Gaussian mixture (leading axis) to one
+        Gaussian. ``w`` normalized over axis 0."""
+        m = jnp.einsum("j,jd->d", w, mean)
+        dm = mean - m
+        C = jnp.einsum("j,jde->de", w, cov) + jnp.einsum(
+            "j,jd,je->de", w, dm, dm)
+        return m, symmetrize(C)
+
+    def _outputs(w, J, h):
+        means, covs = _mean_cov(J, h)        # (K,d), (K,d,d)
+        mean, cov = _collapse(w, means, covs)
+        return mean, cov
+
+    def init_fn(potentials):
+        n1, n2 = _node(potentials)
+        J1 = -2.0 * (I1 + n1)
+        h1 = I2 + n2
+        logZ1 = kalman._gauss_logZ_info(J1, h1, Ic)
+        logw = jax.nn.log_softmax(e_pi0)
+        w = jnp.exp(logw)
+        logev = logZ1 + jax.nn.logsumexp(e_pi0)
+        J = jnp.broadcast_to(J1, (K, d, d))
+        h = jnp.broadcast_to(h1, (K, d))
+        mean, cov = _outputs(w, J, h)
+        return (logw, J, h), (w, mean, cov, logev)
+
+    def step_fn(state, potentials):
+        logw, J, h = state                   # (K,), (K,d,d), (K,d)
+        n1, n2 = _node(potentials)
+        # each regime's Gaussian is carried normalized: implicit constant
+        # c_j = -logZ(J_j, h_j, 0), folded into the branch's c slot below
+        cnorm = -kalman._gauss_logZ_info(J, h, jnp.zeros((K,), dtype))
+        # branch (j -> k): one chain leaf on (x_t, x_{t+1}) under regime
+        # k's expected dynamics, with regime j's (normalized) filtered
+        # potential folded into the (J11, h1) slots -- exactly the LDS
+        # online step (models/lds.make_online_filter) per branch
+        e = (
+            -2.0 * E3[None, :] + J[:, None],             # (K,K,d,d)
+            jnp.broadcast_to(-jnp.swapaxes(E2, -1, -2), (K, K, d, d)),
+            jnp.broadcast_to(-2.0 * (E1 + n1), (K, K, d, d)),
+            jnp.broadcast_to(h[:, None], (K, K, d)),
+            jnp.broadcast_to(n2, (K, K, d)),
+            Ec[None, :] + cnorm[:, None],
+        )
+        Jb, hb, cb = kalman.marginalize_first(e)         # (K,K,...)
+        logZb = kalman._gauss_logZ_info(Jb, hb, cb)      # (K,K)
+        # branch log-weights; state Gaussians are kept normalized
+        # (logZ == 0), so logZb IS the branch evidence increment
+        lw = logw[:, None] + e_Pi + logZb                # (K,K)
+        logev = jax.nn.logsumexp(lw)
+        logw_new = jax.nn.logsumexp(lw - logev, axis=0)  # (K,)
+        # per-destination branch responsibilities, moment-match over j
+        r = jnp.exp(lw - logev - logw_new[None, :])      # (K,K)
+        means, covs = _mean_cov(Jb, hb)                  # (K,K,d),(K,K,d,d)
+        m_k = jax.vmap(_collapse, in_axes=(1, 1, 1))(r, means, covs)
+        mean_k, cov_k = m_k                              # (K,d), (K,d,d)
+        # back to normalized info form
+        Lc = smallchol.chol(cov_k)
+        eye = jnp.broadcast_to(jnp.eye(d, dtype=dtype), cov_k.shape)
+        J_new = symmetrize(smallchol.cho_solve_mat(Lc, eye))
+        h_new = jnp.einsum("kde,ke->kd", J_new, mean_k)
+        # renormalize the emitted weights: logsumexp keeps them within
+        # ~1e-4 of simplex at f32, exact-sum output is the API contract
+        w = jnp.exp(logw_new)
+        w = w / jnp.sum(w)
+        mean, cov = _collapse(w, mean_k, cov_k)
+        return (logw_new, J_new, h_new), (w, mean, cov, logev)
+
+    return init_fn, step_fn

@@ -250,3 +250,97 @@ def test_segmentation_apis_accept_mask():
     path_manual = slds.most_likely_states(
         glob, lds.mask_potentials((J, h), mask), num_meanfield_iters=2)
     np.testing.assert_array_equal(np.asarray(path), np.asarray(path_manual))
+
+
+def test_online_filter_k1_matches_lds_online_filter():
+    """At K=1 the GPB2 collapse is exact: regime weight 1, and the
+    (mean, cov, logev) stream reproduces lds.make_online_filter."""
+    d, T = 3, 10
+    glob, (J, h) = _setup(K=1, d=d, T=T, seed=7)
+    _, _, niw_np, mniw_np = glob
+    lds_glob = (niw_np, jax.tree.map(lambda a: a[0], mniw_np))
+
+    s_init, s_step = slds.make_online_filter(glob, dtype=jnp.float64)
+    l_init, l_step = lds.make_online_filter(lds_glob, dtype=jnp.float64)
+
+    s_state, (w, sm, sc, sev) = s_init((J[0], h[0]))
+    l_state, (lm, lc, lev) = l_init((J[0], h[0]))
+    np.testing.assert_allclose(np.asarray(w), [1.0], rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(sm), np.asarray(lm), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(sc), np.asarray(lc), rtol=1e-9)
+    np.testing.assert_allclose(float(sev), float(lev), rtol=1e-9)
+    for t in range(1, T):
+        s_state, (w, sm, sc, sev) = s_step(s_state, (J[t], h[t]))
+        l_state, (lm, lc, lev) = l_step(l_state, (J[t], h[t]))
+        np.testing.assert_allclose(np.asarray(w), [1.0], rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(sm), np.asarray(lm),
+                                   rtol=1e-7, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(sc), np.asarray(lc),
+                                   rtol=1e-7, atol=1e-10)
+        np.testing.assert_allclose(float(sev), float(lev), rtol=1e-7)
+
+
+def test_online_filter_properties_and_scan_replay():
+    """K=3: weights normalized, covs PSD, logev finite; lax.scan replay
+    matches the python loop (the serving deployment shape)."""
+    K, d, T = 3, 2, 12
+    glob, (J, h) = _setup(K=K, d=d, T=T, seed=11)
+    init_fn, step_fn = slds.make_online_filter(glob, dtype=jnp.float64)
+
+    state, out0 = init_fn((J[0], h[0]))
+    outs = [out0]
+    for t in range(1, T):
+        state, out = step_fn(state, (J[t], h[t]))
+        outs.append(out)
+    for w, m, c, ev in outs:
+        np.testing.assert_allclose(float(jnp.sum(w)), 1.0, rtol=1e-8)
+        assert np.all(np.linalg.eigvalsh(np.asarray(c)) > 0)
+        assert np.isfinite(float(ev)) and np.all(np.isfinite(np.asarray(m)))
+
+    state0, _ = init_fn((J[0], h[0]))
+    _, scanned = jax.lax.scan(step_fn, state0, (J[1:], h[1:]))
+    np.testing.assert_allclose(
+        np.asarray(scanned[0]),
+        np.stack([np.asarray(o[0]) for o in outs[1:]]), rtol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(scanned[3]),
+        np.array([float(o[3]) for o in outs[1:]]), rtol=1e-9)
+
+
+def test_online_filter_recovers_regimes():
+    """Two well-separated rotation regimes, strong evidence: the streaming
+    regime posterior must track the true generating regime on a long
+    majority of frames (it is causal, so allow switch-lag errors)."""
+    K, d, T = 2, 2, 60
+    th = jnp.pi / 8
+    rot = lambda a, s: s * jnp.array(
+        [[jnp.cos(a), -jnp.sin(a)], [jnp.sin(a), jnp.cos(a)]], jnp.float64)
+    As = jnp.stack([rot(th, 0.99), rot(-th, 0.6)])
+    glob = slds.init_pgm_param(jax.random.PRNGKey(0), K, d,
+                               kappa_sticky=20.0, mniw_conc=200.0,
+                               dtype=jnp.float64)
+    init_dir, trans_dir, niw_np, mniw_np = glob
+    # recenter each MNIW factor at its regime's dynamics matrix
+    from svae_tpu.expfam import mniw as mniw_mod
+    S, M, V, nu = mniw_mod.natural_to_standard(mniw_np)
+    mniw_np = mniw_mod.standard_to_natural(S, As, V, nu)
+    glob = (init_dir, trans_dir, niw_np, mniw_np)
+
+    # simulate: regime 0 for the first half, regime 1 for the second
+    zs = np.array([0] * (T // 2) + [1] * (T - T // 2))
+    xs = np.zeros((T, d))
+    xs[0] = np.array([2.0, 0.0])
+    rng = np.random.default_rng(3)
+    for t in range(1, T):
+        xs[t] = np.asarray(As[zs[t]]) @ xs[t - 1] + 0.05 * rng.normal(size=d)
+    # near-delta evidence on the true x
+    Jd = jnp.full((T, d), 400.0, jnp.float64)
+    hv = jnp.asarray(xs) * Jd
+
+    init_fn, step_fn = slds.make_online_filter(glob, dtype=jnp.float64)
+    state, out = init_fn((Jd[0], hv[0]))
+    hits = []
+    for t in range(1, T):
+        state, (w, m, c, ev) = step_fn(state, (Jd[t], hv[t]))
+        hits.append(int(np.argmax(np.asarray(w))) == zs[t])
+    assert np.mean(hits) > 0.8, f"regime hit rate {np.mean(hits):.2f}"
