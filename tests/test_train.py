@@ -157,8 +157,37 @@ def test_checkpoint_structure_mismatch_raises(tmp_path):
     path = os.path.join(tmp_path, "c.npz")
     ckpt_lib.save(path, {"a": jnp.zeros(3)})
     with pytest.raises(ValueError):
-        ckpt_lib.restore(path, {"b": jnp.zeros(3)})
+        ckpt_lib.restore(path, {"b": jnp.zeros(3)})  # renamed key
+    with pytest.raises(ValueError):
+        ckpt_lib.restore(path, {"a": jnp.zeros(4)})  # wrong shape
+    with pytest.raises(ValueError):
+        ckpt_lib.restore(path, {"a": jnp.zeros(3),
+                                "c": jnp.zeros(1)})  # wrong leaf count
     assert ckpt_lib.latest(tmp_path, prefix="c") is None
+
+
+def test_checkpoint_restore_from_committed_fixtures():
+    """Restore committed v2 (structural fingerprint) and v1 (legacy
+    treedef-repr tag) checkpoints: the structural check is independent of
+    how the running JAX version prints treedefs, so old checkpoints stay
+    restorable across JAX upgrades (round-2 verdict weak #7)."""
+    fdir = os.path.join(os.path.dirname(__file__), "fixtures")
+    like = {"pgm": (jnp.zeros((2, 3), jnp.float32),),
+            "net": [jnp.zeros((4,), jnp.float32)],
+            "step": jnp.asarray(0, jnp.int32)}
+    for name in ("ckpt_fixture_v2.npz", "ckpt_fixture_v1.npz"):
+        state = ckpt_lib.restore(os.path.join(fdir, name), like)
+        assert int(state["step"]) == 7
+        np.testing.assert_allclose(
+            np.asarray(state["pgm"][0]),
+            np.arange(6, dtype=np.float32).reshape(2, 3))
+        np.testing.assert_allclose(np.asarray(state["net"][0]), 2.5)
+    # shape mismatch against the fixture still raises
+    bad = {"pgm": (jnp.zeros((3, 3), jnp.float32),),
+           "net": [jnp.zeros((4,), jnp.float32)],
+           "step": jnp.asarray(0, jnp.int32)}
+    with pytest.raises(ValueError):
+        ckpt_lib.restore(os.path.join(fdir, "ckpt_fixture_v2.npz"), bad)
 
 
 def test_named_net_optimizer_presets():
