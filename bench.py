@@ -36,21 +36,41 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 
-def _lump_time(run_iters, iters):
+_LAST_SPREAD = {}
+
+
+def _lump_time(run_iters, iters, spread_key=None):
     """Time `iters` chained async dispatches, fenced once at the end; do it
-    twice and keep the slower pass. Per-step fencing is wrong on this
-    setup (the axon tunnel costs ~25 ms per sync round-trip, swamping
+    three times and keep the SLOWEST pass. Per-step fencing is wrong on
+    this setup (the axon tunnel costs ~25 ms per sync round-trip, swamping
     sub-10 ms kernels); chained lump timing measures sustained device
     throughput, and taking the slowest of three passes rejects bogus-fast
     artifacts seen under host CPU contention (a two-pass max was observed
-    to let a 20x-fast artifact through once)."""
+    to let a 20x-fast artifact through once).
+
+    When ``spread_key`` is given, the min/max of the three passes is
+    recorded in ``_LAST_SPREAD`` so the JSON line can report run-to-run
+    variance next to each headline number (round-2 verdict weak #2:
+    same-config numbers were observed to move 10-35% between runs;
+    without a reported spread, regressions are unfalsifiable)."""
     dts = []
     for _ in range(3):
         t0 = time.perf_counter()
         out = run_iters(iters)
         jax.block_until_ready(out)
         dts.append((time.perf_counter() - t0) / iters)
+    if spread_key is not None:
+        _LAST_SPREAD[spread_key] = (min(dts), max(dts))
     return max(dts)
+
+
+def _spread_seqs(key, scale):
+    """min/max seqs-per-sec pair from a recorded time spread (None when the
+    measurement was stubbed/skipped and recorded no spread)."""
+    if key not in _LAST_SPREAD:
+        return None
+    lo_t, hi_t = _LAST_SPREAD[key]
+    return [round(scale / hi_t, 2), round(scale / lo_t, 2)]
 
 
 def measure_tpu_steps(backend, B=64, T=100, d_obs=20, d_latent=10,
@@ -96,7 +116,8 @@ def measure_tpu_steps(backend, B=64, T=100, d_obs=20, d_latent=10,
         state[:] = [p, n, st, e]
         return e
 
-    dt = _lump_time(run_iters, iters)
+    dt = _lump_time(run_iters, iters,
+                    spread_key=f"train_{backend}_b{B}")
     assert bool(np.isfinite(float(state[3]))), "non-finite ELBO in benchmark"
     return B / dt, dt
 
@@ -167,7 +188,7 @@ def measure_tpu_estep(backend, B=64, T=100, d_latent=10, num_samples=2,
             out = f((J, h), jax.random.PRNGKey(2 + i))
         return out
 
-    dt = _lump_time(run_iters, iters)
+    dt = _lump_time(run_iters, iters, spread_key=f"estep_{backend}_b{B}")
     assert bool(np.isfinite(float(out[3]))), "non-finite local KL"
     return B / dt
 
@@ -200,7 +221,7 @@ def measure_slds(B=16, T=50, K=4, d_latent=3, num_iters=10, iters=10):
             out = f((J, h), jax.random.PRNGKey(2 + i))
         return out
 
-    dt = _lump_time(run_iters, iters)
+    dt = _lump_time(run_iters, iters, spread_key="slds")
     assert bool(np.isfinite(float(out[3])))
     tpu_seqs = B / dt
 
@@ -245,7 +266,7 @@ def measure_hmm(B=128, T=100, K=8, iters=20):
     pi0 = jnp.full((K,), -np.log(K))
     Pi = jnp.full((K, K), -np.log(K))
 
-    def time_fn(f):
+    def time_fn(f, spread_key=None):
         out = f(log_obs)
         jax.block_until_ready(out)
 
@@ -254,11 +275,12 @@ def measure_hmm(B=128, T=100, K=8, iters=20):
                 out = f(log_obs)
             return out
 
-        return _lump_time(run_iters, iters)
+        return _lump_time(run_iters, iters, spread_key=spread_key)
 
     interp = jax.default_backend() != "tpu"  # Mosaic needs the chip
     dt = time_fn(jax.jit(
-        lambda lo: pallas_hmm.hmm_posterior(pi0, Pi, lo, interpret=interp)))
+        lambda lo: pallas_hmm.hmm_posterior(pi0, Pi, lo, interpret=interp)),
+        spread_key="hmm")
     tpu_seqs = B / dt
     dt_xla = time_fn(jax.jit(jax.vmap(
         lambda lo: hmm.hmm_posterior(pi0, Pi, lo))))
@@ -276,6 +298,132 @@ def measure_hmm(B=128, T=100, K=8, iters=20):
         marg(log_init, log_trans, lo)
     cpu_seqs = 1.0 / ((time.perf_counter() - t0) / reps)
     return tpu_seqs, tpu_seqs_xla, cpu_seqs
+
+
+def measure_gmm(N=1000, K=8, d_latent=2, num_iters=25, S=2, iters=20):
+    """GMM-SVAE full-batch SVI step (BASELINE config 1 shapes: pinwheel
+    N=1000, K=8, d=2, 25 mean-field sweeps, 2 MC samples) steps/sec on
+    chip, plus the CPU mean-field E-step twin (vectorized f64 NumPy --
+    the reference's GMM path is pure NumPy/autograd with no Cython fast
+    path, so this IS the reference-equivalent denominator;
+    ops/oracles.py:gmm_meanfield_seq, parity-tested)."""
+    from functools import partial
+    import jax
+    import jax.numpy as jnp
+    from svae_tpu.data import make_pinwheel
+    from svae_tpu.expfam import dirichlet, niw
+    from svae_tpu.models import gmm
+    from svae_tpu.nets import recognition, decoders
+    from svae_tpu.ops import oracles
+    from svae_tpu.train import loop as loop_lib
+
+    data = jnp.asarray(make_pinwheel(seed=0, num_classes=5,
+                                     num_per_class=N // 5))
+    d_obs = data.shape[1]
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    pgm_prior = gmm.init_pgm_param(k1, K, d_latent)
+    pgm_params = gmm.init_pgm_param(k2, K, d_latent, random_scale=2.0)
+    net_params = (
+        recognition.init_mlp_recognize(k3, d_obs, (40,), d_latent),
+        decoders.init_mlp_decode(k4, d_latent, (40,), d_obs),
+    )
+    opt_init, train_step = loop_lib.make_train_step(
+        partial(gmm.run_inference, num_meanfield_iters=num_iters),
+        recognition.mlp_recognize, decoders.mlp_loglike,
+        pgm_prior, N, num_samples=S, donate=False)
+    opt_state = opt_init(pgm_params, net_params)
+
+    state = [pgm_params, net_params, opt_state, None]
+    p, n, st, e, _ = train_step(state[0], state[1], state[2], data,
+                                jax.random.PRNGKey(1))
+    jax.block_until_ready(e)
+    state = [p, n, st, e]
+
+    def run_iters(k):
+        p, n, st, e = state
+        for i in range(k):
+            p, n, st, e, _ = train_step(p, n, st, data,
+                                        jax.random.PRNGKey(2 + i))
+        state[:] = [p, n, st, e]
+        return e
+
+    dt = _lump_time(run_iters, iters, spread_key="gmm")
+    assert bool(np.isfinite(float(state[3]))), "non-finite GMM ELBO"
+
+    # CPU twin: one full-batch mean-field E-step (the per-step E-step work;
+    # the denominator omits the reference's net/decoder cost, conservative
+    # in its favor -- same convention as measure_cpu_oracle)
+    dir_np, niw_np = jax.tree.map(np.asarray, pgm_params)
+    e_logpi = np.asarray(dirichlet.expectedstats(jnp.asarray(dir_np)))
+    (E_eta1, E_eta2), const = jax.tree.map(
+        np.asarray, niw.expected_gaussian_natparam(
+            jax.tree.map(jnp.asarray, niw_np)))
+    rng = np.random.RandomState(0)
+    J_np = np.log1p(np.exp(rng.randn(N, d_latent))) + 0.5
+    h_np = rng.randn(N, d_latent)
+    oracles.gmm_meanfield_seq(e_logpi, E_eta1, E_eta2, const, J_np, h_np,
+                              num_iters=num_iters)  # warmup
+    reps = 5
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        oracles.gmm_meanfield_seq(e_logpi, E_eta1, E_eta2, const,
+                                  J_np, h_np, num_iters=num_iters)
+    cpu_steps = 1.0 / ((time.perf_counter() - t0) / reps)
+    return 1.0 / dt, cpu_steps
+
+
+def measure_conv_lds(B=8, T=500, hw=(16, 16), d_latent=16, S=2, iters=5):
+    """BASELINE config 4 shaped train step: conv recognition net over
+    16x16 frames + T=500 LDS E-step (fused Pallas on chip) + deconv-MLP
+    decoder + natgrad/adam, seqs/sec. The CPU twin is the strongest CPU
+    E-step at the SAME (T, d) -- the native C++ sequential smoother+sampler
+    -- mirroring the headline's denominator convention."""
+    from functools import partial
+    import jax
+    import jax.numpy as jnp
+    from svae_tpu.models import lds
+    from svae_tpu.nets import recognition, decoders
+    from svae_tpu.train import loop as loop_lib
+
+    backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    H, W = hw
+    d_obs = H * W
+    rng = np.random.RandomState(0)
+    data = jnp.asarray(rng.rand(B, T, d_obs).astype(np.float32))
+    N = 16 * B
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    pgm_prior = lds.init_pgm_param(k1, d_latent)
+    pgm_params = lds.init_pgm_param(k2, d_latent)
+    net_params = (
+        recognition.init_conv_recognize(k3, hw, (16, 32), 3, d_latent),
+        decoders.init_mlp_decode(k4, d_latent, (128,), d_obs),
+    )
+    opt_init, train_step = loop_lib.make_train_step(
+        partial(lds.run_inference, backend=backend),
+        recognition.make_conv_recognize(hw), decoders.mlp_loglike,
+        pgm_prior, N, num_samples=S, donate=False)
+    opt_state = opt_init(pgm_params, net_params)
+
+    state = [pgm_params, net_params, opt_state, None]
+    p, n, st, e, _ = train_step(state[0], state[1], state[2], data,
+                                jax.random.PRNGKey(1))
+    jax.block_until_ready(e)
+    state = [p, n, st, e]
+
+    def run_iters(k):
+        p, n, st, e = state
+        for i in range(k):
+            p, n, st, e, _ = train_step(p, n, st, data,
+                                        jax.random.PRNGKey(2 + i))
+        state[:] = [p, n, st, e]
+        return e
+
+    dt = _lump_time(run_iters, iters, spread_key="conv_lds")
+    assert bool(np.isfinite(float(state[3]))), "non-finite conv-LDS ELBO"
+    cpu_seqs = measure_cpu_oracle(T=T, d_latent=d_latent, reps=2)
+    return B / dt, cpu_seqs, dt
 
 
 def speed_of_light(step_dt, B=64, T=100, d=10, S=2, block_b=128):
@@ -390,8 +538,38 @@ def main():
         result["hmm_posterior_seqs_per_sec"] = round(hmm_tpu, 2)
         result["hmm_posterior_xla_seqs_per_sec"] = round(hmm_xla, 2)
         result["hmm_vs_cpu"] = round(hmm_tpu / hmm_cpu, 2)
+        result["hmm_spread"] = _spread_seqs("hmm", 128)
     except Exception:
         result["hmm_posterior_seqs_per_sec"] = None
+    try:
+        # BASELINE config 1: GMM-SVAE full-batch SVI step (N=1000, K=8,
+        # 25 sweeps) vs the vectorized f64 NumPy mean-field twin (the
+        # reference's GMM path has no Cython; NumPy IS the reference twin)
+        gmm_steps, gmm_cpu = measure_gmm()
+        result["gmm_steps_per_sec"] = round(gmm_steps, 2)
+        result["gmm_vs_cpu"] = round(gmm_steps / gmm_cpu, 2)
+        result["gmm_spread"] = _spread_seqs("gmm", 1.0)
+    except Exception:
+        result["gmm_steps_per_sec"] = None
+    try:
+        # BASELINE config 4: conv recognition + T=500 LDS train step;
+        # denominator = strongest CPU E-step at the same (T, d)
+        conv_seqs, conv_cpu, _ = measure_conv_lds()
+        result["conv_lds_train_seqs_per_sec"] = round(conv_seqs, 2)
+        result["conv_lds_vs_cpu_estep"] = round(conv_seqs / conv_cpu, 2)
+        result["conv_lds_spread"] = _spread_seqs("conv_lds", 8)
+    except Exception:
+        result["conv_lds_train_seqs_per_sec"] = None
+    # min/max of the three timing passes per headline row (run-to-run
+    # variance; the headline keeps the slowest pass)
+    try:
+        result["estep_spread"] = _spread_seqs(f"estep_{backend}_b64", 64)
+        result["train_step_spread"] = _spread_seqs(
+            f"train_{backend}_b64", 64)
+        if result.get("slds_estep_seqs_per_sec"):
+            result["slds_spread"] = _spread_seqs("slds", 16)
+    except KeyError:
+        pass
     result.update(speed_of_light(step_dt))
     print(json.dumps(result))
 

@@ -107,7 +107,13 @@ class ConvLDSConfig:
     num_seqs: int = 128
     hidden_dec: Tuple[int, ...] = (128,)
     backend: str = "auto"   # see LDSConfig.backend
-    scan_chunks: int = 64   # long-T: parallel-in-time XLA scan flavor
+    # scan_chunks only affects the XLA-scan FALLBACK (backend="xla", or
+    # "auto" off-TPU): there the blocked parallel-in-time scan is measured
+    # 2.65-3.75x faster than the sequential lax.scan at T=512-2048
+    # (benchmarks/bench_longT.py). On TPU "auto" resolves to the fused
+    # Pallas kernels, which ignore it -- and win outright through T>=1024
+    # (docs/DESIGN.md), so this is deliberately NOT a Pallas knob.
+    scan_chunks: int = 64
     # "bfloat16" runs the conv/decoder matmuls with bf16 MXU operands and
     # f32 accumulation (2x matmul throughput; PGM algebra stays f32)
     net_compute_dtype: str = "float32"

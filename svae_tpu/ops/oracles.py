@@ -287,3 +287,45 @@ def hmm_marginals_seq(log_init, log_trans, log_obs):
         lp = la[t][:, None] + lt + (log_obs[t + 1] + lb[t + 1])[None, :] - logZ
         pair[t] = np.exp(lp)
     return logZ, node, pair
+
+
+def gmm_meanfield_seq(e_logpi, E_eta1, E_eta2, const, J_diag, h,
+                      num_iters=25):
+    """GMM block mean-field E-step, float64 vectorized NumPy -- the CPU
+    twin of models/gmm.py:local_meanfield (reference: svae/models/gmm.py
+    local_meanfield; the reference's GMM path is pure NumPy/autograd with
+    no Cython fast path, so vectorized f64 NumPy IS the
+    reference-equivalent implementation and the fair bench denominator).
+
+    Inputs: global expected stats ``e_logpi (K,)``,
+    ``E_eta1 (K, d, d)``, ``E_eta2 (K, d)``, ``const (K,)`` (the NIW
+    expected Gaussian natparams), and diagonal recognition potentials
+    ``J_diag, h (N, d)``. Runs ``num_iters`` coordinate-ascent sweeps of
+    q(x) <-> q(z); returns (label_probs (N, K), (ExxT, Ex)).
+    """
+    e_logpi = np.asarray(e_logpi, np.float64)
+    E_eta1 = np.asarray(E_eta1, np.float64)
+    E_eta2 = np.asarray(E_eta2, np.float64)
+    const = np.asarray(const, np.float64)
+    J_diag = np.asarray(J_diag, np.float64)
+    h = np.asarray(h, np.float64)
+    N, d = h.shape
+    K = e_logpi.shape[0]
+    eta1_node = np.zeros((N, d, d))
+    eta1_node[:, np.arange(d), np.arange(d)] = -0.5 * J_diag
+    r = np.full((N, K), 1.0 / K)
+    for _ in range(num_iters):
+        eta1 = np.einsum("nk,kij->nij", r, E_eta1) + eta1_node
+        eta2 = np.einsum("nk,ki->ni", r, E_eta2) + h
+        J = -2.0 * eta1
+        Sigma = np.linalg.inv(J)
+        mu = np.einsum("nij,nj->ni", Sigma, eta2)
+        ExxT = Sigma + mu[:, :, None] * mu[:, None, :]
+        logits = (e_logpi[None, :]
+                  + np.einsum("kij,nij->nk", E_eta1, ExxT)
+                  + np.einsum("ki,ni->nk", E_eta2, mu)
+                  + const[None, :])
+        logits -= logits.max(axis=1, keepdims=True)
+        r = np.exp(logits)
+        r /= r.sum(axis=1, keepdims=True)
+    return r, (ExxT, mu)

@@ -40,6 +40,20 @@ def test_speed_of_light_fields():
     assert all(np.isfinite(v) and v > 0 for v in sol.values())
 
 
+def test_gmm_measures_tiny():
+    steps, cpu = bench.measure_gmm(N=10, K=3, d_latent=2, num_iters=3,
+                                   S=1, iters=2)
+    assert np.isfinite(steps) and steps > 0
+    assert np.isfinite(cpu) and cpu > 0
+
+
+def test_conv_lds_measures_tiny():
+    seqs, cpu, dt = bench.measure_conv_lds(B=2, T=8, hw=(4, 4),
+                                           d_latent=2, S=1, iters=2)
+    assert np.isfinite(seqs) and seqs > 0
+    assert np.isfinite(cpu) and cpu > 0
+
+
 def test_main_emits_schema(monkeypatch, capsys):
     # stub the measurements (covered individually above); this test pins
     # the output contract the driver parses
@@ -49,6 +63,9 @@ def test_main_emits_schema(monkeypatch, capsys):
     monkeypatch.setattr(bench, "measure_cpu_oracle", lambda: 10.0)
     monkeypatch.setattr(bench, "measure_slds", lambda: (30.0, 2.0, 0.02))
     monkeypatch.setattr(bench, "measure_hmm", lambda: (500.0, 400.0, 100.0))
+    monkeypatch.setattr(bench, "measure_gmm", lambda: (600.0, 40.0))
+    monkeypatch.setattr(bench, "measure_conv_lds",
+                        lambda: (90.0, 5.0, 0.09))
     bench.main()
     out = capsys.readouterr().out.strip().splitlines()[-1]
     rec = json.loads(out)
@@ -57,6 +74,10 @@ def test_main_emits_schema(monkeypatch, capsys):
               "cpu_estep_seqs_per_sec", "train_step_xla_seqs_per_sec",
               "slds_estep_seqs_per_sec", "slds_vs_cpu",
               "hmm_posterior_seqs_per_sec", "hmm_vs_cpu",
+              "gmm_steps_per_sec", "gmm_vs_cpu",
+              "conv_lds_train_seqs_per_sec", "conv_lds_vs_cpu_estep",
               "pallas_step_gflops", "vpu_peak_frac", "hbm_peak_frac"):
         assert k in rec
     assert rec["value"] > 0 and rec["vs_baseline"] > 0
+    assert rec["gmm_steps_per_sec"] == 600.0
+    assert rec["conv_lds_vs_cpu_estep"] == 18.0

@@ -128,3 +128,24 @@ def test_classify_matches_meanfield_labels():
     np.testing.assert_allclose(np.asarray(r), np.asarray(r2), atol=1e-12)
     np.testing.assert_allclose(np.asarray(jnp.sum(r, -1)),
                                np.ones(7), rtol=1e-6)
+
+
+def test_meanfield_matches_numpy_oracle():
+    """The f64 NumPy mean-field twin (ops/oracles.py:gmm_meanfield_seq, the
+    bench.py GMM CPU denominator) computes the same fixed point as the JAX
+    lax.scan mean-field -- same labels and same q(x) moments."""
+    from svae_tpu.ops import oracles
+
+    glob, (J, h) = _setup(K=5, d=3, B=9, seed=21)
+    r_jax, qx, stats, _ = gmm.local_meanfield(glob, (J, h), num_iters=60)
+
+    dir_natparam, niw_natparam = glob
+    e_logpi = dirichlet.expectedstats(dir_natparam)
+    (E_eta1, E_eta2), const = niw.expected_gaussian_natparam(niw_natparam)
+    r_np, (ExxT_np, mu_np) = oracles.gmm_meanfield_seq(
+        e_logpi, E_eta1, E_eta2, const, J, h, num_iters=60)
+
+    np.testing.assert_allclose(np.asarray(r_jax), r_np, atol=1e-7)
+    ExxT, Ex = stats
+    np.testing.assert_allclose(np.asarray(Ex), mu_np, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(ExxT), ExxT_np, atol=1e-7)
