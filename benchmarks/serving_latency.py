@@ -90,6 +90,47 @@ def measure_slds(n_streams, key, K=4):
     return dt
 
 
+def measure_window(model, n_streams, W, key, K=4):
+    """Per-dispatch latency when W frames ride one jitted window dispatch
+    (models/streaming.make_window_filter) -- the amortization curve for
+    the ~0.7-1.0 ms dispatch floor. Returns seconds per dispatch (of W
+    frames x n_streams)."""
+    from svae_tpu.models import lds, slds, streaming
+
+    if model == "lds":
+        glob = lds.init_pgm_param(jax.random.PRNGKey(0), D)
+        init_fn, step_fn = lds.make_online_filter(glob)
+    else:
+        glob = slds.init_pgm_param(jax.random.PRNGKey(0), K, D)
+        init_fn, step_fn = slds.make_online_filter(glob)
+    w_init, w_step = streaming.make_window_filter(init_fn, step_fn)
+
+    k1, k2 = jax.random.split(key)
+    shp = (W, D) if n_streams == 1 else (n_streams, W, D)
+    Jd = jax.nn.softplus(jax.random.normal(k1, shp)) + 0.5
+    hv = jax.random.normal(k2, shp)
+    if n_streams == 1:
+        state, _ = jax.jit(w_init)((Jd, hv))
+        step = jax.jit(w_step)
+    else:
+        state, _ = jax.jit(jax.vmap(w_init))((Jd, hv))
+        step = jax.jit(jax.vmap(w_step))
+    state, out = step(state, (Jd, hv))
+    jax.block_until_ready(out)
+    dts = []
+    iters = max(10, ITERS // max(1, W // 4))
+    for _ in range(2):
+        s = state
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            s, out = step(s, (Jd, hv))
+        jax.block_until_ready(out)
+        dts.append((time.perf_counter() - t0) / iters)
+    dt = max(dts)
+    assert bool(np.isfinite(float(jnp.sum(out[0]))))
+    return dt
+
+
 def main():
     report = {"device": str(jax.devices()[0]),
               "on_tpu": jax.devices()[0].platform == "tpu", "d": D}
@@ -105,6 +146,17 @@ def main():
         report[f"slds_streams_{n}_frames_per_sec"] = round(n / dt, 1)
         print(f"SLDS {n} streams: {dt * 1e6:.1f} us/dispatch, "
               f"{n / dt:,.0f} frames/s", flush=True)
+    # window amortization curve: W frames per dispatch, 128 streams
+    # (W=1 through the window layer reproduces the per-frame rows above
+    # modulo scan overhead -- the delta IS the layer's cost)
+    for model in ("lds", "slds"):
+        for W in (1, 4, 16, 64):
+            dt = measure_window(model, 128, W, jax.random.PRNGKey(W))
+            fps = 128 * W / dt
+            report[f"{model}_window_{W}_dispatch_us"] = round(dt * 1e6, 1)
+            report[f"{model}_window_{W}_frames_per_sec"] = round(fps, 1)
+            print(f"{model} W={W} @128 streams: {dt * 1e6:.1f} us/dispatch,"
+                  f" {fps:,.0f} frames/s", flush=True)
 
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "out")
     os.makedirs(out, exist_ok=True)

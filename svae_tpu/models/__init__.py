@@ -13,6 +13,6 @@ plus ``init_pgm_param(key, ...) -> global_natparam`` and
 pytree arithmetic: ``natgrad = prior + scale * stats - global``.
 """
 
-from svae_tpu.models import gmm, lds, slds
+from svae_tpu.models import gmm, lds, slds, streaming
 
-__all__ = ["gmm", "lds", "slds"]
+__all__ = ["gmm", "lds", "slds", "streaming"]

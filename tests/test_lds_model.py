@@ -250,3 +250,57 @@ def test_online_filter_long_stream_stable():
     incs = np.asarray(incs)
     np.testing.assert_allclose(incs[-1], incs[-2], rtol=1e-10)
     assert np.all(np.isfinite(incs))
+
+
+def test_window_filter_matches_single_frame_steps():
+    """models/streaming.make_window_filter: replaying T frames in T/W
+    windows chains exactly -- identical states and per-frame outputs to T
+    single-frame step_fn calls (the serving amortization layer)."""
+    from svae_tpu.models import streaming
+
+    T, W, d = 12, 4, 3
+    glob = lds.init_pgm_param(jax.random.PRNGKey(0), d)
+    J_diag = jax.nn.softplus(
+        jax.random.normal(jax.random.PRNGKey(1), (T, d), jnp.float64)) + 0.5
+    h = jax.random.normal(jax.random.PRNGKey(2), (T, d), jnp.float64)
+
+    init_fn, step_fn = lds.make_online_filter(glob, dtype=h.dtype)
+    state, out0 = init_fn((J_diag[0], h[0]))
+    means, logevs = [np.asarray(out0[0])], [float(out0[2])]
+    for t in range(1, T):
+        state, out = step_fn(state, (J_diag[t], h[t]))
+        means.append(np.asarray(out[0]))
+        logevs.append(float(out[2]))
+
+    w_init, w_step = streaming.make_window_filter(init_fn, step_fn)
+    wstate, wout = jax.jit(w_init)((J_diag[:W], h[:W]))
+    w_means = [np.asarray(wout[0])]
+    w_logevs = [np.asarray(wout[2])]
+    jw = jax.jit(w_step)
+    for s in range(W, T, W):
+        wstate, wout = jw(wstate, (J_diag[s:s + W], h[s:s + W]))
+        w_means.append(np.asarray(wout[0]))
+        w_logevs.append(np.asarray(wout[2]))
+    np.testing.assert_allclose(np.concatenate(w_means), np.stack(means),
+                               rtol=1e-12, atol=0)
+    np.testing.assert_allclose(np.concatenate(w_logevs), np.array(logevs),
+                               rtol=1e-12, atol=0)
+    # the carried state equals the single-frame filter's final state
+    for a, b in zip(wstate, state):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-12)
+
+    # one-shot replay == W=T window
+    outs = streaming.replay(init_fn, step_fn, (J_diag, h))
+    np.testing.assert_allclose(np.asarray(outs[0]), np.stack(means),
+                               rtol=1e-12)
+
+    # vmapped streams compose with the window layer
+    B = 3
+    Jb = jax.nn.softplus(jax.random.normal(
+        jax.random.PRNGKey(3), (B, T, d), jnp.float64)) + 0.5
+    hb = jax.random.normal(jax.random.PRNGKey(4), (B, T, d), jnp.float64)
+    vstate, vout = jax.vmap(w_init)((Jb[:, :W], hb[:, :W]))
+    assert vout[0].shape == (B, W, d)
+    s1, o1 = init_fn((Jb[1, 0], hb[1, 0]))
+    np.testing.assert_allclose(np.asarray(vout[0][1, 0]),
+                               np.asarray(o1[0]), rtol=1e-12)

@@ -344,3 +344,35 @@ def test_online_filter_recovers_regimes():
         state, (w, m, c, ev) = step_fn(state, (Jd[t], hv[t]))
         hits.append(int(np.argmax(np.asarray(w))) == zs[t])
     assert np.mean(hits) > 0.8, f"regime hit rate {np.mean(hits):.2f}"
+
+
+def test_window_filter_matches_single_frame_steps_slds():
+    """The window/replay layer is filter-agnostic: wrapping the GPB2
+    switching filter chains exactly across window boundaries too."""
+    from svae_tpu.models import streaming
+
+    T, W, K, d = 8, 4, 3, 2
+    glob = slds.init_pgm_param(jax.random.PRNGKey(0), K, d)
+    J_diag = jax.nn.softplus(
+        jax.random.normal(jax.random.PRNGKey(1), (T, d), jnp.float64)) + 0.5
+    h = jax.random.normal(jax.random.PRNGKey(2), (T, d), jnp.float64)
+
+    init_fn, step_fn = slds.make_online_filter(glob, dtype=h.dtype)
+    state, out0 = init_fn((J_diag[0], h[0]))
+    outs = [out0]
+    for t in range(1, T):
+        state, out = step_fn(state, (J_diag[t], h[t]))
+        outs.append(out)
+
+    w_init, w_step = streaming.make_window_filter(init_fn, step_fn)
+    wstate, wout1 = w_init((J_diag[:W], h[:W]))
+    wstate, wout2 = w_step(wstate, (J_diag[W:], h[W:]))
+    got = jax.tree.map(
+        lambda a, b: np.concatenate([np.asarray(a), np.asarray(b)]),
+        wout1, wout2)
+    want = jax.tree.map(lambda *xs: np.stack([np.asarray(x) for x in xs]),
+                        *outs)
+    for g, w in zip(jax.tree.leaves(got), jax.tree.leaves(want)):
+        np.testing.assert_allclose(g, w, rtol=1e-12, atol=0)
+    for a, b in zip(jax.tree.leaves(wstate), jax.tree.leaves(state)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-12)
