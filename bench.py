@@ -74,8 +74,16 @@ def _spread_seqs(key, scale):
 
 
 def measure_tpu_steps(backend, B=64, T=100, d_obs=20, d_latent=10,
-                      num_samples=2, iters=20):
-    """Full SVI train step seqs/sec on the given E-step backend."""
+                      num_samples=2, iters=20, k_fused=8):
+    """Full SVI train step seqs/sec on the given E-step backend.
+
+    Protocol (r04): ``k_fused`` DISTINCT minibatches ride one jitted
+    dispatch via train/loop.py make_fused_train_step(stacked_batch=True)
+    -- the standard device-resident training-loop shape (scan over
+    prefetched minibatches, PRNG key threaded on device). See
+    measure_tpu_estep for why the one-dispatch-per-step r03 protocol
+    stopped measuring the code: the per-dispatch tunnel overhead now
+    dominates and drifts 2x run to run."""
     from functools import partial
     import jax
     import jax.numpy as jnp
@@ -84,7 +92,9 @@ def measure_tpu_steps(backend, B=64, T=100, d_obs=20, d_latent=10,
     from svae_tpu.nets import recognition, decoders
     from svae_tpu.train import loop as loop_lib
 
-    data = jnp.asarray(make_dot_data(num_seqs=B, T=T, image_width=d_obs))
+    data = jnp.asarray(make_dot_data(num_seqs=k_fused * B, T=T,
+                                     image_width=d_obs))
+    batches = data.reshape(k_fused, B, T, d_obs)
     N = 50 * B
     key = jax.random.PRNGKey(0)
     k1, k2, k3, k4 = jax.random.split(key, 4)
@@ -94,30 +104,32 @@ def measure_tpu_steps(backend, B=64, T=100, d_obs=20, d_latent=10,
         recognition.init_mlp_recognize(k3, d_obs, (64,), d_latent),
         decoders.init_mlp_decode(k4, d_latent, (64,), d_obs),
     )
-    opt_init, train_step = loop_lib.make_train_step(
+    opt_init, fused_step = loop_lib.make_fused_train_step(
         partial(lds.run_inference, backend=backend),
         recognition.mlp_recognize, decoders.mlp_loglike,
-        pgm_prior, N, num_samples=num_samples, donate=False,
+        pgm_prior, N, k_steps=k_fused, num_samples=num_samples,
+        donate=False, stacked_batch=True,
     )
     opt_state = opt_init(pgm_params, net_params)
 
     state = [pgm_params, net_params, opt_state, None]
     # warmup/compile
-    p, n, st, e, _ = train_step(state[0], state[1], state[2], data,
-                                jax.random.PRNGKey(1))
+    p, n, st, e, _, _ = fused_step(state[0], state[1], state[2], batches,
+                                   jax.random.PRNGKey(1))
     jax.block_until_ready(e)
     state = [p, n, st, e]
 
     def run_iters(k):
         p, n, st, e = state
         for i in range(k):
-            p, n, st, e, _ = train_step(p, n, st, data,
-                                        jax.random.PRNGKey(2 + i))
+            p, n, st, e, _, _ = fused_step(p, n, st, batches,
+                                           jax.random.PRNGKey(2 + i))
         state[:] = [p, n, st, e]
         return e
 
     dt = _lump_time(run_iters, iters,
                     spread_key=f"train_{backend}_b{B}")
+    dt = dt / k_fused
     assert bool(np.isfinite(float(state[3]))), "non-finite ELBO in benchmark"
     return B / dt, dt
 
@@ -164,9 +176,20 @@ def measure_cpu_oracle(T=100, d_latent=10, reps=8):
 
 
 def measure_tpu_estep(backend, B=64, T=100, d_latent=10, num_samples=2,
-                      iters=20):
+                      iters=20, k_fused=8):
     """E-step only (smoother + sampler through the model contract), the
-    apples-to-apples twin of measure_cpu_oracle."""
+    apples-to-apples twin of measure_cpu_oracle.
+
+    Protocol (r04): ``k_fused`` DISTINCT potential batches are stacked
+    and consumed by a ``lax.scan`` inside ONE jitted dispatch -- the
+    device-resident inference-pipeline shape. One-dispatch-per-batch was
+    the r03 protocol, but by r04 the measured device time of the E-step
+    (~0.5 ms at B=64, slope-timed) is a minority of the per-dispatch
+    axon-tunnel overhead (1.5-5 ms, drifting 2x minute-to-minute), so a
+    per-dispatch protocol measures the tunnel, not the code. Stacked
+    inputs make every scan iteration distinct work (nothing hoistable),
+    and each iteration reduces its outputs into a carried checksum so
+    nothing is dead."""
     from functools import partial
     import jax
     import jax.numpy as jnp
@@ -175,22 +198,37 @@ def measure_tpu_estep(backend, B=64, T=100, d_latent=10, num_samples=2,
     key = jax.random.PRNGKey(0)
     glob = lds.init_pgm_param(key, d_latent)
     k1, k2 = jax.random.split(key)
-    J = jax.nn.softplus(jax.random.normal(k1, (B, T, d_latent))) + 0.5
-    h = jax.random.normal(k2, (B, T, d_latent))
-    f = jax.jit(lambda pots, k: lds.run_inference(glob, glob, pots, k,
-                                                  num_samples,
-                                                  backend=backend))
-    out = f((J, h), jax.random.PRNGKey(1))
+    Js = jax.nn.softplus(
+        jax.random.normal(k1, (k_fused, B, T, d_latent))) + 0.5
+    hs = jax.random.normal(k2, (k_fused, B, T, d_latent))
+
+    def body(carry, xs):
+        acc, k = carry
+        J, h = xs
+        k, ks = jax.random.split(k)
+        s, stats, gkl, lkl = lds.run_inference(glob, glob, (J, h), ks,
+                                               num_samples,
+                                               backend=backend)
+        acc = acc + lkl + jnp.sum(s[0, 0, 0])
+        return (acc, k), None
+
+    @jax.jit
+    def f(Js, hs, k):
+        (acc, _), _ = jax.lax.scan(body, (jnp.zeros((), hs.dtype), k),
+                                   (Js, hs))
+        return acc
+
+    out = f(Js, hs, jax.random.PRNGKey(1))
     jax.block_until_ready(out)
 
     def run_iters(k):
         for i in range(k):
-            out = f((J, h), jax.random.PRNGKey(2 + i))
+            out = f(Js, hs, jax.random.PRNGKey(2 + i))
         return out
 
     dt = _lump_time(run_iters, iters, spread_key=f"estep_{backend}_b{B}")
-    assert bool(np.isfinite(float(out[3]))), "non-finite local KL"
-    return B / dt
+    assert bool(np.isfinite(float(out))), "non-finite E-step checksum"
+    return k_fused * B / dt
 
 
 def measure_slds(B=16, T=50, K=4, d_latent=3, num_iters=10, iters=10):
@@ -300,13 +338,22 @@ def measure_hmm(B=128, T=100, K=8, iters=20):
     return tpu_seqs, tpu_seqs_xla, cpu_seqs
 
 
-def measure_gmm(N=1000, K=8, d_latent=2, num_iters=25, S=2, iters=20):
+def measure_gmm(N=1000, K=8, d_latent=2, num_iters=25, S=2, iters=20,
+                k_fused=10):
     """GMM-SVAE full-batch SVI step (BASELINE config 1 shapes: pinwheel
     N=1000, K=8, d=2, 25 mean-field sweeps, 2 MC samples) steps/sec on
     chip, plus the CPU mean-field E-step twin (vectorized f64 NumPy --
     the reference's GMM path is pure NumPy/autograd with no Cython fast
     path, so this IS the reference-equivalent denominator;
-    ops/oracles.py:gmm_meanfield_seq, parity-tested)."""
+    ops/oracles.py:gmm_meanfield_seq, parity-tested).
+
+    Full-batch training has no per-step data feeding, so the production
+    loop runs ``k_fused`` steps per dispatch (train/loop.py
+    make_fused_train_step, lax.scan with the key threaded on device);
+    the headline steps/sec measures that loop. ``gmm_unfused`` in the
+    returned dict is the one-dispatch-per-step rate for comparison
+    (dispatch/tunnel-latency bound: the device step is sub-millisecond).
+    """
     from functools import partial
     import jax
     import jax.numpy as jnp
@@ -332,8 +379,13 @@ def measure_gmm(N=1000, K=8, d_latent=2, num_iters=25, S=2, iters=20):
         partial(gmm.run_inference, num_meanfield_iters=num_iters),
         recognition.mlp_recognize, decoders.mlp_loglike,
         pgm_prior, N, num_samples=S, donate=False)
+    _, fused_step = loop_lib.make_fused_train_step(
+        partial(gmm.run_inference, num_meanfield_iters=num_iters),
+        recognition.mlp_recognize, decoders.mlp_loglike,
+        pgm_prior, N, k_steps=k_fused, num_samples=S, donate=False)
     opt_state = opt_init(pgm_params, net_params)
 
+    # one-dispatch-per-step rate (kept for comparison)
     state = [pgm_params, net_params, opt_state, None]
     p, n, st, e, _ = train_step(state[0], state[1], state[2], data,
                                 jax.random.PRNGKey(1))
@@ -348,8 +400,27 @@ def measure_gmm(N=1000, K=8, d_latent=2, num_iters=25, S=2, iters=20):
         state[:] = [p, n, st, e]
         return e
 
-    dt = _lump_time(run_iters, iters, spread_key="gmm")
+    dt_unfused = _lump_time(run_iters, iters)
     assert bool(np.isfinite(float(state[3]))), "non-finite GMM ELBO"
+
+    # production full-batch loop: k_fused steps per dispatch
+    fstate = [pgm_params, net_params, opt_state, None,
+              jax.random.PRNGKey(1)]
+    p, n, st, e, _, _ = fused_step(fstate[0], fstate[1], fstate[2], data,
+                                   fstate[4])
+    jax.block_until_ready(e)
+    fstate = [p, n, st, e, jax.random.PRNGKey(2)]
+
+    def run_fused(k):
+        p, n, st, e, kk = fstate
+        for i in range(k):
+            kk, ks = jax.random.split(kk)
+            p, n, st, e, _, _ = fused_step(p, n, st, data, ks)
+        fstate[:] = [p, n, st, e, kk]
+        return e
+
+    dt = _lump_time(run_fused, iters, spread_key="gmm") / k_fused
+    assert bool(np.isfinite(float(fstate[3]))), "non-finite GMM ELBO"
 
     # CPU twin: one full-batch mean-field E-step (the per-step E-step work;
     # the denominator omits the reference's net/decoder cost, conservative
@@ -370,7 +441,7 @@ def measure_gmm(N=1000, K=8, d_latent=2, num_iters=25, S=2, iters=20):
         oracles.gmm_meanfield_seq(e_logpi, E_eta1, E_eta2, const,
                                   J_np, h_np, num_iters=num_iters)
     cpu_steps = 1.0 / ((time.perf_counter() - t0) / reps)
-    return 1.0 / dt, cpu_steps
+    return 1.0 / dt, cpu_steps, 1.0 / dt_unfused, k_fused
 
 
 def measure_conv_lds(B=8, T=500, hw=(16, 16), d_latent=16, S=2, iters=5):
@@ -505,6 +576,11 @@ def main():
         "cpu_estep_seqs_per_sec": round(cpu_seqs, 2),
         "device": str(device),
         "backend": backend,
+        # r04 protocol: 8 distinct batches / train steps ride ONE jitted
+        # dispatch (lax.scan; see measure_tpu_estep docstring) -- the
+        # device-resident pipeline shape; per-dispatch tunnel overhead
+        # had grown to dominate single-dispatch measurements.
+        "batches_per_dispatch": 8,
     }
     try:
         xla_train, _ = measure_tpu_steps("xla")
@@ -545,10 +621,12 @@ def main():
         # BASELINE config 1: GMM-SVAE full-batch SVI step (N=1000, K=8,
         # 25 sweeps) vs the vectorized f64 NumPy mean-field twin (the
         # reference's GMM path has no Cython; NumPy IS the reference twin)
-        gmm_steps, gmm_cpu = measure_gmm()
+        gmm_steps, gmm_cpu, gmm_unfused, k_fused = measure_gmm()
         result["gmm_steps_per_sec"] = round(gmm_steps, 2)
         result["gmm_vs_cpu"] = round(gmm_steps / gmm_cpu, 2)
-        result["gmm_spread"] = _spread_seqs("gmm", 1.0)
+        result["gmm_steps_per_dispatch"] = k_fused
+        result["gmm_unfused_steps_per_sec"] = round(gmm_unfused, 2)
+        result["gmm_spread"] = _spread_seqs("gmm", float(k_fused))
     except Exception:
         result["gmm_steps_per_sec"] = None
     try:
@@ -561,15 +639,18 @@ def main():
     except Exception:
         result["conv_lds_train_seqs_per_sec"] = None
     # min/max of the three timing passes per headline row (run-to-run
-    # variance; the headline keeps the slowest pass)
-    try:
-        result["estep_spread"] = _spread_seqs(f"estep_{backend}_b64", 64)
-        result["train_step_spread"] = _spread_seqs(
-            f"train_{backend}_b64", 64)
-        if result.get("slds_estep_seqs_per_sec"):
-            result["slds_spread"] = _spread_seqs("slds", 16)
-    except KeyError:
-        pass
+    # variance; the headline keeps the slowest pass). _spread_seqs
+    # returns None for rows whose measurement was skipped.
+    result["estep_spread"] = _spread_seqs(f"estep_{backend}_b64", 8 * 64)
+    result["train_step_spread"] = _spread_seqs(f"train_{backend}_b64", 8 * 64)
+    if result.get("slds_estep_seqs_per_sec"):
+        result["slds_spread"] = _spread_seqs("slds", 16)
+    if result.get("estep_b256_seqs_per_sec"):
+        result["estep_b256_spread"] = _spread_seqs(
+            f"estep_{backend}_b256", 8 * 256)
+    if result.get("train_step_b256_seqs_per_sec"):
+        result["train_b256_spread"] = _spread_seqs(
+            f"train_{backend}_b256", 8 * 256)
     result.update(speed_of_light(step_dt))
     print(json.dumps(result))
 

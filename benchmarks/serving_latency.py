@@ -119,7 +119,10 @@ def measure_window(model, n_streams, W, key, K=4):
     jax.block_until_ready(out)
     dts = []
     iters = max(10, ITERS // max(1, W // 4))
-    for _ in range(2):
+    # slowest-of-THREE, same variance guard as bench._lump_time (a
+    # two-pass max was observed to let a bogus-fast artifact through
+    # under host contention -- round-3 advisor finding)
+    for _ in range(3):
         s = state
         t0 = time.perf_counter()
         for _ in range(iters):

@@ -228,6 +228,23 @@ def _sequence_inference(init, pairs, nn_potentials, key, num_samples,
 # --------------------------------------------------------------------------
 
 
+def _batched_inference_pallas_stationary(init, pair_mats, nn_potentials,
+                                         key, num_samples, interpret=False,
+                                         valid=None):
+    """Minibatch E-step on the fully packed stationary-diagonal pipeline
+    (svae_tpu/ops/pallas_estep.py): pair potentials ride VMEM as whole
+    operands, only the diagonal recognition evidence is streamed, and the
+    moment assembly + stat reductions run in the kernels' packed lane
+    layout -- no (B, T, d, d) materialization anywhere. Used whenever the
+    chain is time-homogeneous (``lengths=None``); parity-tested against
+    _batched_inference_pallas."""
+    from svae_tpu.ops import pallas_estep
+
+    return pallas_estep.lds_estep_stationary(
+        init, pair_mats, nn_potentials, key, num_samples, valid=valid,
+        interpret=interpret)
+
+
 def _batched_inference_pallas(init, pairs, nn_potentials, key, num_samples,
                               interpret=False, valid=None):
     """Minibatch E-step on the differentiable fused Pallas kernels
@@ -358,9 +375,22 @@ def run_inference(prior_natparam, global_natparam, nn_potentials, key,
     if backend == "pallas":
         if not batched:
             J_diag, h = J_diag[None], h[None]
-        samples, stats, local_kl = _batched_inference_pallas(
-            init, pairs, (J_diag, h), key, num_samples, interpret=interpret,
-            valid=valid)
+        if lengths is None:
+            # time-homogeneous chain (expected_chain_potentials broadcast
+            # one pair matrix over T-1): the fully packed
+            # stationary-diagonal pipeline skips the broadcast streams
+            # and every (B, T, d, d) materialization.
+            niw_np, mniw_np = global_natparam
+            E1, E2, E3, Pc = mniw.expected_pair_potential(mniw_np)
+            pair_mats = jax.tree.map(lambda a: a.astype(h.dtype),
+                                     (E1, E2, E3, Pc))
+            samples, stats, local_kl = _batched_inference_pallas_stationary(
+                init, pair_mats, (J_diag, h), key, num_samples,
+                interpret=interpret, valid=valid)
+        else:
+            samples, stats, local_kl = _batched_inference_pallas(
+                init, pairs, (J_diag, h), key, num_samples,
+                interpret=interpret, valid=valid)
         if not batched:
             samples = samples[:, 0]
     elif batched:

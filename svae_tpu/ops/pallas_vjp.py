@@ -1101,12 +1101,26 @@ def lds_backward(pairs, nodes, block_b=128, interpret=False,
 
 
 def fb_pass(init, pairs, nodes, block_b=128, interpret=False,
-            unroll=None, fused_adj=False):
+            unroll=None, fused_adj=False, bidir=None):
     """ONE fused kernel pass computing BOTH information filters:
     returns (logZ (B,), Jf, hf, Jb, hb) -- the union of ``lds_filter``
     and ``lds_backward`` outputs at half the kernel passes (the two
     recursions are independent; see ``_fb_fwd_kernel``). Differentiable
-    via the fused adjoint kernel."""
+    via the fused adjoint kernel.
+
+    ``bidir=None`` (default) routes to the bidirectional lane-packed
+    layout (svae_tpu/ops/pallas_bidir.py -- backward recursion on the
+    lanes this kernel would leave idle, ONE chain step per grid step)
+    whenever that layout needs strictly fewer 128-lane blocks, i.e.
+    B mod ``block_b`` in [1, block_b/2] -- notably the B<=64 serving
+    shapes and the SLDS mean-field sweeps. ``True``/``False`` force."""
+    B_ = nodes[1].shape[0]
+    if bidir is None:
+        bidir = -(-2 * B_ // block_b) < 2 * (-(-B_ // block_b))
+    if bidir:
+        from svae_tpu.ops import pallas_bidir
+        return pallas_bidir.fb_pass(init, pairs, nodes, block_b=block_b,
+                                    interpret=interpret, unroll=unroll)
     I1, I2, Ic = init
     packed, B, T, d, Bp = _prep_chain(pairs, nodes, block_b)
     _, _, _, fb_prim = _prims(d, interpret,

@@ -4,8 +4,9 @@ Greenfield subsystem (the reference has none -- SURVEY.md section 5): the
 state is ``(pgm_params, net_params, opt_state, prng_key, step)``; resume
 must reproduce the ELBO trajectory exactly, which the round-trip test
 asserts. Format: a single ``np.savez`` archive of the flattened leaves plus
-the treedef repr as a consistency check -- no pickle, no external deps,
-portable across hosts.
+a versioned ``__structure__`` JSON fingerprint (per-leaf key path + shape +
+dtype; v1 checkpoints carried a treedef-repr tag instead and degrade to a
+shape-only check) -- no pickle, no external deps, portable across hosts.
 """
 
 import json
@@ -66,14 +67,18 @@ def save(path, state):
     os.replace(tmp, path)  # atomic: a crash never leaves a torn checkpoint
 
 
-def restore(path, like):
+def restore(path, like, cast=False):
     """Restore a pytree with the structure of ``like`` from ``path``.
 
     Raises ValueError if the stored leaf structure (count + shapes +
-    dtypes) does not match ``like``. Checkpoints written by the v1
-    format (treedef-repr tag) are still restorable: they degrade to the
-    same structural check (the repr itself is never compared, so JAX
-    repr changes cannot invalidate them)."""
+    dtypes) does not match ``like``. A dtype mismatch (e.g. an f64-trained
+    checkpoint restored into an f32 template) raises unless ``cast=True``
+    is passed explicitly -- the cast is lossy, so it must be opted into,
+    never silent. Checkpoints written by the v1 format (treedef-repr tag)
+    are still restorable: they degrade to a shape-only structural check
+    (the repr itself is never compared, so JAX repr changes cannot
+    invalidate them; v1 stored no dtypes, so the dtype check does not
+    apply to them)."""
     leaves, treedef = jax.tree.flatten(like)
     with np.load(path) as data:
         n_stored = sum(1 for k in data.files if k.startswith("leaf_"))
@@ -94,6 +99,13 @@ def restore(path, like):
                         f"checkpoint structure mismatch at leaf {i}: "
                         f"stored {s.get('path')} shape {s['shape']} vs "
                         f"expected {e['path']} shape {e['shape']}"
+                    )
+                if not cast and s.get("dtype", e["dtype"]) != e["dtype"]:
+                    raise ValueError(
+                        f"checkpoint dtype mismatch at leaf {i} "
+                        f"({e['path']}): stored {s['dtype']} vs expected "
+                        f"{e['dtype']}; pass cast=True to coerce "
+                        f"explicitly (lossy)"
                     )
         else:  # v1 checkpoint: structural check from the arrays themselves
             for i, (new, old) in enumerate(zip(new_leaves, leaves)):

@@ -6,6 +6,7 @@ import os
 import time
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from svae_tpu.train import checkpoint as ckpt_lib
@@ -42,8 +43,11 @@ def run(train_cfg, train_step, pgm_params, net_params, opt_state, data,
         os.makedirs(train_cfg.checkpoint_dir, exist_ok=True)
         latest = ckpt_lib.latest(train_cfg.checkpoint_dir)
         if latest is not None:
+            # step counter pinned to a jax-config-independent dtype
+            # (np.int64): jnp.asarray(int) is int32 or int64 depending on
+            # x64 mode, which would trip the restore dtype check.
             state = (pgm_params, net_params, opt_state, key,
-                     jnp.zeros((), jnp.int32))
+                     np.zeros((), np.int64))
             pgm_params, net_params, opt_state, key, step_arr = (
                 ckpt_lib.restore(latest, state))
             key = jnp.asarray(key)
@@ -80,7 +84,7 @@ def run(train_cfg, train_step, pgm_params, net_params, opt_state, data,
                 os.path.join(train_cfg.checkpoint_dir,
                              f"ckpt_{global_step + 1}.npz"),
                 (p, n, s, loop_key if loop_key is not None else key,
-                 jnp.asarray(global_step + 1)),
+                 np.asarray(global_step + 1, np.int64)),
             )
         if extra_callback is not None:
             extra_callback(global_step, elbo, params, terms)
@@ -107,7 +111,7 @@ def run(train_cfg, train_step, pgm_params, net_params, opt_state, data,
             os.path.join(train_cfg.checkpoint_dir,
                          f"ckpt_{final_step}.npz"),
             (pgm_params, net_params, opt_state, final_key,
-             jnp.asarray(final_step)),
+             np.asarray(final_step, np.int64)),
         )
     return pgm_params, net_params, opt_state, history
 
@@ -138,7 +142,7 @@ def run_with_loader(train_cfg, train_step, pgm_params, net_params,
                                  prefix="ckpt_epoch_")
         if latest is not None:
             state = (pgm_params, net_params, opt_state, key,
-                     jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+                     np.zeros((), np.int64), np.zeros((), np.int64))
             pgm_params, net_params, opt_state, key, ep_arr, st_arr = (
                 ckpt_lib.restore(latest, state))
             key = jnp.asarray(key)
@@ -181,7 +185,8 @@ def run_with_loader(train_cfg, train_step, pgm_params, net_params,
                     os.path.join(train_cfg.checkpoint_dir,
                                  f"ckpt_epoch_{epoch + 1}.npz"),
                     (pgm_params, net_params, opt_state, key,
-                     jnp.asarray(epoch + 1), jnp.asarray(step_base[0])),
+                     np.asarray(epoch + 1, np.int64),
+                     np.asarray(step_base[0], np.int64)),
                 )
     finally:
         if train_cfg.profile_dir:

@@ -48,6 +48,50 @@ def make_train_step(run_inference, recognize, loglike, pgm_prior, N,
     return opt_init, jax.jit(step, donate_argnums=donate_argnums)
 
 
+def make_fused_train_step(run_inference, recognize, loglike, pgm_prior, N,
+                          k_steps, num_samples=1, natgrad_scale=1.0,
+                          pgm_step_size=1.0, net_optimizer=None,
+                          net_step_size=1e-3, donate=True, mask_fn=None,
+                          stacked_batch=False):
+    """Like :func:`make_train_step`, but ONE dispatch runs ``k_steps``
+    SVI steps via ``lax.scan`` with the PRNG key threaded on device --
+    the TPU-idiomatic shape for full-batch training (GMM coordinate
+    ascent: no per-step data feeding, so per-dispatch host/tunnel latency
+    would otherwise dominate a sub-millisecond device step; measured
+    2026-08-20: the B=1000 GMM step is ~6x dispatch overhead).
+
+      fused_step(pgm_params, net_params, opt_state, batch, key)
+          -> (pgm_params, net_params, opt_state, elbo, terms, elbos)
+
+    ``batch`` is reused by every inner step (full-batch training), or --
+    with ``stacked_batch=True`` -- a ``(k_steps, B, ...)`` pytree of
+    per-step minibatches. ``elbo``/``terms`` are the LAST inner step's;
+    ``elbos`` is the (k_steps,) per-step history."""
+    gradfun = make_gradfun(run_inference, recognize, loglike, pgm_prior, N,
+                           num_samples, natgrad_scale, mask_fn=mask_fn)
+    opt_init, opt_update = make_optimizer(net_optimizer, pgm_step_size,
+                                          net_step_size)
+
+    def fused(pgm_params, net_params, opt_state, batch, key):
+        def body(carry, xs):
+            pgm, net, st, k = carry
+            b = xs if stacked_batch else batch
+            k, ks = jax.random.split(k)
+            elbo, natgrad, grads, terms = gradfun(pgm, net, b, ks)
+            pgm, net, st = opt_update(st, pgm, net, natgrad, grads)
+            return (pgm, net, st, k), (elbo, terms)
+
+        (pgm, net, st, _), (elbos, terms_h) = jax.lax.scan(
+            body, (pgm_params, net_params, opt_state, key),
+            xs=batch if stacked_batch else None,
+            length=None if stacked_batch else k_steps)
+        terms = jax.tree.map(lambda x: x[-1], terms_h)
+        return pgm, net, st, elbos[-1], terms, elbos
+
+    donate_argnums = (0, 1, 2) if donate else ()
+    return opt_init, jax.jit(fused, donate_argnums=donate_argnums)
+
+
 def run(train_step, pgm_params, net_params, opt_state, data, key, num_epochs,
         batch_size, callback=None, callback_every=1, shuffle=True):
     """Host-side epoch loop (reference: svae/optimizers.py:adam loop).

@@ -24,7 +24,7 @@ def test_real_small_estep_runs():
     pallas_call(interpret=False) works on CPU via the XLA CPU emulation
     path in recent jax, exercised implicitly in test_pallas on-chip)."""
     val = bench.measure_tpu_estep("xla", B=2, T=8, d_latent=2,
-                                  num_samples=1, iters=2)
+                                  num_samples=1, iters=2, k_fused=2)
     assert np.isfinite(val) and val > 0
 
 
@@ -41,10 +41,12 @@ def test_speed_of_light_fields():
 
 
 def test_gmm_measures_tiny():
-    steps, cpu = bench.measure_gmm(N=10, K=3, d_latent=2, num_iters=3,
-                                   S=1, iters=2)
+    steps, cpu, unfused, k = bench.measure_gmm(N=10, K=3, d_latent=2,
+                                               num_iters=3, S=1, iters=2,
+                                               k_fused=2)
     assert np.isfinite(steps) and steps > 0
     assert np.isfinite(cpu) and cpu > 0
+    assert np.isfinite(unfused) and unfused > 0 and k == 2
 
 
 def test_conv_lds_measures_tiny():
@@ -63,7 +65,8 @@ def test_main_emits_schema(monkeypatch, capsys):
     monkeypatch.setattr(bench, "measure_cpu_oracle", lambda: 10.0)
     monkeypatch.setattr(bench, "measure_slds", lambda: (30.0, 2.0, 0.02))
     monkeypatch.setattr(bench, "measure_hmm", lambda: (500.0, 400.0, 100.0))
-    monkeypatch.setattr(bench, "measure_gmm", lambda: (600.0, 40.0))
+    monkeypatch.setattr(bench, "measure_gmm",
+                        lambda: (600.0, 40.0, 80.0, 10))
     monkeypatch.setattr(bench, "measure_conv_lds",
                         lambda: (90.0, 5.0, 0.09))
     bench.main()

@@ -153,6 +153,41 @@ def test_preemption_resume_continues_trajectory(tmp_path):
     np.testing.assert_allclose(hist_a + hist_b, hist_full, rtol=1e-12)
 
 
+def test_fused_train_step_matches_sequential():
+    """make_fused_train_step(k) == k applications of make_train_step with
+    the same on-device key-split stream (full-batch GMM; the production
+    full-batch loop shape, bench.py measure_gmm)."""
+    pgm_prior, pgm_params, net_params, run_inf = _build()
+    data = jnp.asarray(make_pinwheel(num_per_class=16), jnp.float64)
+    N = data.shape[0]
+    k_steps = 3
+    opt_init, step = loop_lib.make_train_step(
+        run_inf, recognition.mlp_recognize, decoders.mlp_loglike,
+        pgm_prior, N, num_samples=2, donate=False)
+    _, fused = loop_lib.make_fused_train_step(
+        run_inf, recognition.mlp_recognize, decoders.mlp_loglike,
+        pgm_prior, N, k_steps=k_steps, num_samples=2, donate=False)
+    opt_state = opt_init(pgm_params, net_params)
+
+    key0 = jax.random.PRNGKey(7)
+    fp, fn, fst, felbo, fterms, felbos = fused(
+        pgm_params, net_params, opt_state, data, key0)
+    assert felbos.shape == (k_steps,)
+
+    p, n, st, kk = pgm_params, net_params, opt_state, key0
+    elbos = []
+    for _ in range(k_steps):
+        kk, ks = jax.random.split(kk)
+        p, n, st, e, terms = step(p, n, st, data, ks)
+        elbos.append(float(e))
+    np.testing.assert_allclose(np.asarray(felbos), np.asarray(elbos),
+                               rtol=1e-10)
+    for a, b in zip(jax.tree.leaves((fp, fn)), jax.tree.leaves((p, n))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-9, atol=1e-12)
+    assert set(fterms) == set(terms)
+
+
 def test_checkpoint_structure_mismatch_raises(tmp_path):
     path = os.path.join(tmp_path, "c.npz")
     ckpt_lib.save(path, {"a": jnp.zeros(3)})
@@ -164,6 +199,22 @@ def test_checkpoint_structure_mismatch_raises(tmp_path):
         ckpt_lib.restore(path, {"a": jnp.zeros(3),
                                 "c": jnp.zeros(1)})  # wrong leaf count
     assert ckpt_lib.latest(tmp_path, prefix="c") is None
+
+
+def test_checkpoint_dtype_mismatch_raises_unless_cast(tmp_path):
+    """An f64 checkpoint must NOT restore into an f32 template silently
+    (lossy); cast=True is the explicit opt-in (round-3 advisor finding +
+    verdict weak #5)."""
+    path = os.path.join(tmp_path, "c.npz")
+    ckpt_lib.save(path, {"a": jnp.zeros(3, jnp.float64)})
+    with pytest.raises(ValueError, match="dtype"):
+        ckpt_lib.restore(path, {"a": jnp.zeros(3, jnp.float32)})
+    out = ckpt_lib.restore(path, {"a": jnp.zeros(3, jnp.float32)},
+                           cast=True)
+    assert np.asarray(out["a"]).dtype == np.float32
+    # matching dtype still round-trips without the flag
+    out = ckpt_lib.restore(path, {"a": jnp.zeros(3, jnp.float64)})
+    assert np.asarray(out["a"]).dtype == np.float64
 
 
 def test_checkpoint_restore_from_committed_fixtures():
