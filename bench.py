@@ -231,11 +231,16 @@ def measure_tpu_estep(backend, B=64, T=100, d_latent=10, num_samples=2,
     return k_fused * B / dt
 
 
-def measure_slds(B=16, T=50, K=4, d_latent=3, num_iters=10, iters=10):
+def measure_slds(B=16, T=50, K=4, d_latent=3, num_iters=10, iters=10,
+                 k_fused=8):
     """SLDS structured-mean-field E-step (backend='pallas') seqs/sec on
     chip, and the CPU twin: per sequence, num_iters alternating sweeps of
     (native C++ LDS smoother + native HMM forward-backward) -- the
-    reference's Cython-served inner loop (SURVEY.md section 3.3)."""
+    reference's Cython-served inner loop (SURVEY.md section 3.3).
+
+    Same r04 stacked-scan protocol as measure_tpu_estep: ``k_fused``
+    distinct potential batches per dispatch (per-dispatch tunnel overhead
+    dominates and drifts otherwise)."""
     import jax
     import jax.numpy as jnp
     from svae_tpu.models import slds
@@ -244,23 +249,37 @@ def measure_slds(B=16, T=50, K=4, d_latent=3, num_iters=10, iters=10):
     key = jax.random.PRNGKey(0)
     glob = slds.init_pgm_param(key, K, d_latent)
     k1, k2 = jax.random.split(key)
-    J = jax.nn.softplus(jax.random.normal(k1, (B, T, d_latent))) + 0.5
-    h = jax.random.normal(k2, (B, T, d_latent))
+    Js = jax.nn.softplus(
+        jax.random.normal(k1, (k_fused, B, T, d_latent))) + 0.5
+    hs = jax.random.normal(k2, (k_fused, B, T, d_latent))
 
     bk = "pallas" if jax.default_backend() == "tpu" else "xla"
-    f = jax.jit(lambda pots, k: slds.run_inference(
-        glob, glob, pots, k, num_samples=2, num_meanfield_iters=num_iters,
-        backend=bk))
-    out = f((J, h), jax.random.PRNGKey(1))
+
+    def body(carry, xs):
+        acc, k = carry
+        J, h = xs
+        k, ks = jax.random.split(k)
+        s, stats, gkl, lkl = slds.run_inference(
+            glob, glob, (J, h), ks, num_samples=2,
+            num_meanfield_iters=num_iters, backend=bk)
+        return (acc + lkl + jnp.sum(s[0, 0, 0]), k), None
+
+    @jax.jit
+    def f(Js, hs, k):
+        (acc, _), _ = jax.lax.scan(body, (jnp.zeros((), hs.dtype), k),
+                                   (Js, hs))
+        return acc
+
+    out = f(Js, hs, jax.random.PRNGKey(1))
     jax.block_until_ready(out)
 
     def run_iters(k):
         for i in range(k):
-            out = f((J, h), jax.random.PRNGKey(2 + i))
+            out = f(Js, hs, jax.random.PRNGKey(2 + i))
         return out
 
-    dt = _lump_time(run_iters, iters, spread_key="slds")
-    assert bool(np.isfinite(float(out[3])))
+    dt = _lump_time(run_iters, iters, spread_key="slds") / k_fused
+    assert bool(np.isfinite(float(out)))
     tpu_seqs = B / dt
 
     # CPU twin: one sequence, num_iters sweeps of smoother + HMM fwd-bwd
