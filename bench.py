@@ -176,7 +176,7 @@ def measure_cpu_oracle(T=100, d_latent=10, reps=8):
 
 
 def measure_tpu_estep(backend, B=64, T=100, d_latent=10, num_samples=2,
-                      iters=20, k_fused=8):
+                      iters=40, k_fused=8):
     """E-step only (smoother + sampler through the model contract), the
     apples-to-apples twin of measure_cpu_oracle.
 
@@ -663,7 +663,7 @@ def main():
     result["estep_spread"] = _spread_seqs(f"estep_{backend}_b64", 8 * 64)
     result["train_step_spread"] = _spread_seqs(f"train_{backend}_b64", 8 * 64)
     if result.get("slds_estep_seqs_per_sec"):
-        result["slds_spread"] = _spread_seqs("slds", 16)
+        result["slds_spread"] = _spread_seqs("slds", 8 * 16)
     if result.get("estep_b256_seqs_per_sec"):
         result["estep_b256_spread"] = _spread_seqs(
             f"estep_{backend}_b256", 8 * 256)

@@ -9,7 +9,10 @@ import jax.numpy as jnp
 
 from svae_tpu.nets import mlp as mlp_lib
 
-LOG2PI = jnp.log(2.0 * jnp.pi)
+# Python float, not jnp: a module-level jnp constant initializes the
+# XLA backend at import, which breaks jax.distributed.initialize in
+# multi-process programs (it must run before any backend touch).
+LOG2PI = 1.8378770664093453
 
 
 def init_mlp_decode(key, d_latent, hidden_sizes, d_obs, dtype=jnp.float32):

@@ -53,7 +53,10 @@ import jax.numpy as jnp
 from svae_tpu.utils import smallchol
 from svae_tpu.utils.psd import symmetrize, f32_linalg
 
-LOG2PI = jnp.log(2.0 * jnp.pi)
+# Python float, not jnp: a module-level jnp constant initializes the
+# XLA backend at import, which breaks jax.distributed.initialize in
+# multi-process programs (it must run before any backend touch).
+LOG2PI = 1.8378770664093453
 
 
 # --------------------------------------------------------------------------
