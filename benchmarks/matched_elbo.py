@@ -42,6 +42,8 @@ GMM = dict(K=8, d=2, num_per_class=60, hidden=(25,), epochs=12,
            batch=100, mf_iters=15)
 LDS = dict(T=40, d=4, d_obs=10, num_seqs=48, hidden=(32,), epochs=8,
            batch=16)
+SLDS = dict(T=30, d=3, K=3, d_obs=8, num_seqs=24, hidden=(24,), epochs=6,
+            batch=12, mf_iters=8)
 
 
 def _setup_jax(mode):
@@ -145,6 +147,57 @@ def _run_lds(jax, seed, mode):
                 params_flat=_flatten(p), net_flat=_flatten(n))
 
 
+def _run_slds(jax, seed, mode):
+    import jax.numpy as jnp
+    from functools import partial
+    from svae_tpu.data import make_dot_data
+    from svae_tpu.models import slds
+    from svae_tpu.nets import recognition, decoders
+    from svae_tpu.train import loop as loop_lib
+
+    dt = jnp.float64 if mode == "oracle" else jnp.float32
+    data = jnp.asarray(make_dot_data(seed=0, num_seqs=SLDS["num_seqs"],
+                                     T=SLDS["T"],
+                                     image_width=SLDS["d_obs"]), dt)
+    N = data.shape[0]
+    k = jax.random.PRNGKey(seed)
+    k1, k2, k3, k4 = jax.random.split(k, 4)
+    prior = slds.init_pgm_param(k1, SLDS["K"], SLDS["d"], dtype=dt)
+    params = slds.init_pgm_param(k2, SLDS["K"], SLDS["d"], dtype=dt)
+    net = (recognition.init_mlp_recognize(k3, SLDS["d_obs"],
+                                          SLDS["hidden"], SLDS["d"],
+                                          dtype=dt),
+           decoders.init_mlp_decode(k4, SLDS["d"], SLDS["hidden"],
+                                    SLDS["d_obs"], dtype=dt))
+    backend = "pallas" if mode == "chip" else "xla"
+    run_inf = partial(slds.run_inference, backend=backend,
+                      num_meanfield_iters=SLDS["mf_iters"])
+    opt_init, step = loop_lib.make_train_step(
+        run_inf, recognition.mlp_recognize, decoders.mlp_loglike, prior, N,
+        num_samples=2, donate=False)
+    s = opt_init(params, net)
+    warm = step(params, net, s, data[:SLDS["batch"]], jax.random.PRNGKey(9))
+    jax.block_until_ready(warm[3])
+    t0 = time.perf_counter()
+    p, n, s, hist, _ = loop_lib.run(step, params, net, s, data,
+                                    jax.random.PRNGKey(seed + 100),
+                                    num_epochs=SLDS["epochs"],
+                                    batch_size=SLDS["batch"],
+                                    shuffle=False)
+    wall = time.perf_counter() - t0
+    # mean-field moments (continuous chain + regime posterior) at the
+    # final params on one fixed eval sequence
+    pots = recognition.mlp_recognize(n[0], data[0])
+    hmm_post, lds_post, _ = slds.local_meanfield(
+        p, pots, num_iters=SLDS["mf_iters"])
+    _, r, _, _ = hmm_post
+    _, _, (Ex, ExxT, _) = lds_post
+    return dict(history=[float(v) for v in hist], wall_s=wall,
+                steps=len(hist),
+                Ex=_tolist(Ex), ExxT=_tolist(ExxT), r=_tolist(r),
+                params_flat=_flatten(p), net_flat=_flatten(n))
+
+
 def _flatten(tree):
     import jax
     import numpy as np
@@ -170,10 +223,11 @@ def run_half(mode):
     jax = _setup_jax(mode)
     print(f"[{mode}] devices: {jax.devices()}", file=sys.stderr)
     out = {"mode": mode, "device": str(jax.devices()[0]),
-           "seeds": NUM_SEEDS, "gmm": [], "lds": []}
+           "seeds": NUM_SEEDS, "gmm": [], "lds": [], "slds": []}
     for seed in range(NUM_SEEDS):
         out["gmm"].append(_run_gmm(jax, seed, mode))
         out["lds"].append(_run_lds(jax, seed, mode))
+        out["slds"].append(_run_slds(jax, seed, mode))
         print(f"[{mode}] seed {seed} done", file=sys.stderr)
     os.makedirs(OUT_DIR, exist_ok=True)
     with open(os.path.join(OUT_DIR, f"matched_elbo_{mode}.json"), "w") as f:
@@ -222,6 +276,55 @@ def _moment_parity(chip):
     return rows
 
 
+def _slds_moment_parity(chip):
+    """Recompute the SLDS mean-field moments at the CHIP's final params in
+    f64 on CPU and compare to the chip's f32 moments + regime posterior
+    (SURVEY.md section 3.3: the numerically riskiest path -- f32
+    mean-field x HMM x Kalman; round-3 verdict weak #6)."""
+    jax = _setup_jax("oracle")
+    import jax.numpy as jnp
+    import numpy as np
+    from svae_tpu.data import make_dot_data
+    from svae_tpu.models import slds
+    from svae_tpu.nets import recognition
+
+    data = jnp.asarray(make_dot_data(seed=0, num_seqs=SLDS["num_seqs"],
+                                     T=SLDS["T"],
+                                     image_width=SLDS["d_obs"]),
+                       jnp.float64)
+    rows = []
+    for rec in chip["slds"]:
+        params = _unflatten_like(
+            rec["params_flat"],
+            slds.init_pgm_param(jax.random.PRNGKey(0), SLDS["K"],
+                                SLDS["d"], dtype=jnp.float64),
+            jnp.float64)
+        net0 = recognition.init_mlp_recognize(
+            jax.random.PRNGKey(0), SLDS["d_obs"], SLDS["hidden"],
+            SLDS["d"], dtype=jnp.float64)
+        recog = _unflatten_like(
+            rec["net_flat"][:len(jax.tree.leaves(net0))], net0,
+            jnp.float64)
+        pots = recognition.mlp_recognize(recog, data[0])
+        hmm_post, lds_post, _ = slds.local_meanfield(
+            params, pots, num_iters=SLDS["mf_iters"])
+        _, r64, _, _ = hmm_post
+        _, _, (Ex64, ExxT64, _) = lds_post
+        Ex32 = np.asarray(rec["Ex"])
+        ExxT32 = np.asarray(rec["ExxT"])
+        r32 = np.asarray(rec["r"])
+        rows.append({
+            "Ex_rel_err": float(
+                np.abs(Ex32 - np.asarray(Ex64)).max()
+                / max(np.abs(np.asarray(Ex64)).max(), 1.0)),
+            "ExxT_rel_err": float(
+                np.abs(ExxT32 - np.asarray(ExxT64)).max()
+                / max(np.abs(np.asarray(ExxT64)).max(), 1.0)),
+            "r_max_abs_err": float(np.abs(r32 - np.asarray(r64)).max()),
+        })
+    return rows
+
+
 def report():
     import numpy as np
 
@@ -241,7 +344,10 @@ def report():
     # converged-to-the-same-ELBO, so the matched window starts after the
     # burn-in (the full-trajectory fraction is reported alongside).
     for model, tol_abs, tol_rel in (("gmm", 0.05, 0.03),
-                                    ("lds", 0.5, 0.02)):
+                                    ("lds", 0.5, 0.02),
+                                    ("slds", 0.5, 0.02)):
+        if model not in chip or not chip.get(model):
+            continue
         ch = np.array([r["history"] for r in chip[model]])   # (S, steps)
         orc = np.array([r["history"] for r in oracle[model]])
         steps = min(ch.shape[1], orc.shape[1])
@@ -278,10 +384,18 @@ def report():
         ok_all &= frac >= 0.95
 
     result["lds_moment_parity"] = _moment_parity(chip)
+    result["slds_moment_parity"] = _slds_moment_parity(chip)
     # f32 single E-step parity is ~2e-3 at T=100 (tests/test_f32_parity);
     # through TRAINED params the observed spread is <= ~6e-3 -- gate at 2e-2
     mom_ok = all(r["Ex_rel_err"] < 2e-2 and r["ExxT_rel_err"] < 2e-2
                  for r in result["lds_moment_parity"])
+    # SLDS mean-field composes f32 Kalman x HMM x averaging over sweeps;
+    # regime responsibilities near decision boundaries amplify small
+    # numeric gaps, so the continuous-chain moments gate at the same
+    # 2e-2 and the regime posterior at 5e-2 max abs
+    mom_ok &= all(r["Ex_rel_err"] < 2e-2 and r["ExxT_rel_err"] < 2e-2
+                  and r["r_max_abs_err"] < 5e-2
+                  for r in result["slds_moment_parity"])
     result["passed"] = bool(ok_all and mom_ok)
     with open(os.path.join(ROOT, "MATCHED_ELBO.json"), "w") as f:
         json.dump(result, f, indent=1)

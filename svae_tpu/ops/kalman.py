@@ -368,6 +368,17 @@ def _smoother_core(init, pairs, nodes, parallel=False):
         suffix = jax.tree.map(
             lambda r, e: jnp.concatenate([r, e[None]], axis=0), body, eT
         )
+    # XLA:TPU miscompile workaround (observed 2026-08-20, jax 0.9.0 on
+    # v5e): when this smoother is vmapped with per-sequence pair
+    # potentials built by arithmetic (dummy_blend_pairs -- even with
+    # all-ones weights, i.e. bit-identical values), the fusion of the
+    # reverse-scan output concat into assemble_moments corrupts the
+    # suffix row at t = T-2 (ExxT off by O(1) at exactly that index;
+    # CPU, any precision, and the Pallas path are all correct). The
+    # barrier blocks that fusion; it is a semantic no-op and costs
+    # nothing measurable. Regression-gated on chip by
+    # benchmarks/onchip_parity.py's ragged section.
+    suffix = jax.lax.optimization_barrier(suffix)
     return assemble_moments(init, pairs, nodes, total, prefix, suffix)
 
 
