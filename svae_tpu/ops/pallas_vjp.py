@@ -437,12 +437,14 @@ def _sampler_adj_kernel(P2f, P3f, Jft, hft, xb, xnext, dx,
 
         Jc = ra.sub(jf, ra.scale(p3, 2.0))
         L = ra.chol(Jc, d)
-        W = ra.cho_inverse(L, d)
         b = ra.add(hf, ra.matvec_T(p2, x_n, d))
-        mu = ra.matvec(W, b, d)
+        # two vector cho_solves instead of forming W = Jc^{-1} (d unit
+        # solves): W is only ever applied to b and xbar here, and the
+        # serialized chain is what this kernel's latency hangs on
+        mu = ra.cho_solve(L, b, d)
         z = ra.sub(x_t, mu)
-        bbar = ra.matvec(W, xbar, d)
         u = ra.solve_lower(L, xbar, d)
+        bbar = ra.solve_upper(L, u, d)  # Jc^{-1} xbar, reusing the half-solve
         Lbar = ra.scale(ra.tril(ra.outer(z, u, d), d), -1.0)
         Jc_bar = ra.sym(
             ra.add(ra.scale(ra.outer(bbar, mu, d), -1.0),
