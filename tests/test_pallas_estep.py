@@ -140,6 +140,52 @@ def test_stationary_estep_unroll_masking():
                                    rtol=1e-8, atol=1e-10)
 
 
+def test_stationary_estep_valid_weights():
+    """``valid`` reweights the MNIW statistics exactly like the generic
+    batched path's formula (frames beyond a sequence's validity drop out
+    of the transition stats and counts); all-ones matches valid=None."""
+    B, T, d = 3, 6, 3
+    init, pairs, mats, (jd, h), eps = _problem(jax.random.key(5), B, T, d)
+    valid = jnp.asarray([[1, 1, 1, 1, 1, 1],
+                         [1, 1, 1, 1, 0, 0],
+                         [1, 1, 1, 0, 0, 0]], jnp.float64)
+
+    base = pallas_estep.lds_estep_stationary(
+        init, mats, (jd, h), None, 2, block_b=8, interpret=True, eps=eps)
+    ones = pallas_estep.lds_estep_stationary(
+        init, mats, (jd, h), None, 2, block_b=8, interpret=True, eps=eps,
+        valid=jnp.ones((B, T), jnp.float64))
+    for a, b in zip(jax.tree.leaves(base[1]), jax.tree.leaves(ones[1])):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-12)
+
+    got = pallas_estep.lds_estep_stationary(
+        init, mats, (jd, h), None, 2, block_b=8, interpret=True, eps=eps,
+        valid=valid)
+    # reference formula from the unweighted full moments
+    s_ref, (niw_ref, _), _ = base
+    _, _, (E1, E2, E3, Pc) = (None, None, mats)
+    from svae_tpu.ops import pallas_vjp
+    N1 = -0.5 * jnp.vectorize(jnp.diag, signature="(d)->(d,d)")(jd)
+    Tm = jnp.broadcast_to(E1, (T - 1,) + E1.shape)
+    pairs_b = (Tm, jnp.broadcast_to(E2, Tm.shape),
+               jnp.broadcast_to(E3, Tm.shape),
+               jnp.broadcast_to(Pc, (T - 1,)))
+    logZ, Jf, hf, Jb, hb = pallas_vjp.fb_pass(init, pairs_b, (N1, h),
+                                              block_b=8, interpret=True)
+    Ex, ExxT, Exnxt = pallas_vjp._smoother_assembly(pairs_b, (N1, h),
+                                                    Jf, hf, Jb, hb)
+    w = valid[:, 1:, None, None]
+    ExnxtT = jnp.swapaxes(Exnxt, -1, -2)
+    want = (jnp.sum(w * ExxT[:, 1:], axis=(0, 1)),
+            jnp.sum(w * ExnxtT, axis=(0, 1)),
+            jnp.sum(w * ExxT[:, :-1], axis=(0, 1)),
+            jnp.sum(valid) - B)
+    for a, b in zip(jax.tree.leaves(got[1][1]), jax.tree.leaves(want)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-9, atol=1e-11)
+
+
 def test_model_backend_routes_stationary():
     """run_inference(backend='pallas') with lengths=None goes through the
     packed path and matches the XLA backend end to end (incl. mask)."""
