@@ -425,13 +425,20 @@ def run_inference(prior_natparam, global_natparam, nn_potentials, key,
 
 @f32_linalg
 def posterior_moments(global_natparam, nn_potentials, parallel=False,
-                      mask=None, lengths=None):
+                      mask=None, lengths=None, backend="auto",
+                      interpret=False):
     """Smoothed posterior moments for one sequence or a batch:
     ``(Ex, ExxT, Exnxt, logZ)``. The eval-side twin of run_inference
     without sampling/KLs (reference: the smoother outputs the experiments
     plot). ``mask`` / ``lengths`` mark missing frames / ragged batches as
     in run_inference: masked frames get the dynamics-bridged (interpolated)
-    posterior -- the smoother IS the missing-data imputer."""
+    posterior -- the smoother IS the missing-data imputer.
+
+    ``backend``: "pallas" runs batched time-homogeneous (``lengths=None``)
+    inputs through the packed stationary pipeline
+    (svae_tpu/ops/pallas_estep.lds_moments_stationary -- the production
+    fast path); "xla" the vmapped scan smoother; "auto" picks "pallas" on
+    TPU for the shapes it serves and "xla" otherwise."""
     J_diag, h = nn_potentials
     batched = J_diag.ndim == 3
     T = J_diag.shape[-2]
@@ -440,6 +447,25 @@ def posterior_moments(global_natparam, nn_potentials, parallel=False,
     if ev_mask is not None:
         J_diag, h = mask_potentials(
             (J_diag, h), ev_mask if batched else ev_mask[0])
+    if backend == "auto":
+        backend = ("pallas" if jax.default_backend() == "tpu" and batched
+                   and lengths is None else "xla")
+    if backend == "pallas" and lengths is None:
+        from svae_tpu.ops import pallas_estep
+
+        niw_np, mniw_np = global_natparam
+        (I1, I2), Ic = niw.expected_gaussian_natparam(niw_np)
+        E1, E2, E3, Pc = mniw.expected_pair_potential(mniw_np)
+        init_m, mats = jax.tree.map(
+            lambda a: a.astype(h.dtype),
+            ((I1, I2, Ic), (E1, E2, E3, Pc)))
+        Jd_b = J_diag if batched else J_diag[None]
+        h_b = h if batched else h[None]
+        logZ, Ex, ExxT, Exnxt = pallas_estep.lds_moments_stationary(
+            init_m, mats, (Jd_b, h_b), interpret=interpret)
+        if not batched:
+            return Ex[0], ExxT[0], Exnxt[0], logZ[0]
+        return Ex, ExxT, Exnxt, logZ
     init, pairs = expected_chain_potentials(global_natparam, T,
                                             dtype=h.dtype)
 

@@ -516,31 +516,22 @@ def _assembly_xla(E1, E2, E3, jd, Jf, hf, Jb, hb):
 # ==========================================================================
 
 
-def lds_estep_stationary(init, pair_mats, nodes_diag, key, num_samples,
-                         valid=None, block_b=128, interpret=False,
-                         unroll=None, eps=None):
-    """Packed-layout minibatch E-step for stationary shared pairs and
-    diagonal node potentials. Returns ``(samples (S, B, T, d),
-    (niw_stats, mniw_stats), local_kl)`` -- exactly the reduced contract
-    of models.lds._batched_inference_pallas (parity-tested against it).
-
-    ``pair_mats`` = (E1, E2, E3, Pc): the single expected pair potential
-    under q(theta) (NOT broadcast over time). ``nodes_diag`` = (jd, h),
-    each (B, T, d) with node precision contribution -1/2 diag(jd).
-    ``valid``: optional (B, T) {0,1} frame-validity weights (trailing-pad
-    ragged batches with stationary pairs are handled by the caller via
-    the generic path; ``valid`` here only reweights the MNIW stats).
-    ``eps``: optional (S, B, T, d) noise override (tests)."""
+def _filter_and_moments(init, pair_mats, nodes_diag, block_b=128,
+                        interpret=False, unroll=None):
+    """Shared first half of the packed pipeline: bidirectional filter
+    pass + smoothed-moment assembly for stationary pairs and diagonal
+    nodes. Returns ``(logZ (B,), Ex (B,T,d), ExxT (B,T,d,d),
+    Exnxt (B,T-1,d,d), Jf, hf)`` with (Jf, hf) still in the packed
+    (T, d*d, B) / (T, d, B) layout for the sampler."""
     I1, I2, Ic = init
     E1, E2, E3, Pc = pair_mats
     jd, n2 = nodes_diag
     B, T, d = n2.shape
     dd = d * d
     dt = n2.dtype
-    S = int(num_samples)
     T1 = T - 1
     U = _resolve_unroll(interpret, unroll)
-    fprim, sprim = _prims(d, interpret, U)
+    fprim, _ = _prims(d, interpret, U)
 
     # ---- lane layout: [fwd B | bwd B | pad] ----
     Bp = (2 * B + block_b - 1) // block_b * block_b
@@ -611,6 +602,54 @@ def lds_estep_stationary(init, pair_mats, nodes_diag, key, num_samples,
     hfu = jnp.moveaxis(hf, -1, 0)
     hbu = jnp.moveaxis(hb, -1, 0)
     Ex, ExxT, Exnxt = _assembly_xla(E1, E2, E3, jd, Jfu, hfu, Jbu, hbu)
+    return logZ, Ex, ExxT, Exnxt, Jf, hf
+
+
+def lds_moments_stationary(init, pair_mats, nodes_diag, block_b=128,
+                           interpret=False, unroll=None):
+    """Packed-pipeline smoothed posterior moments (the eval-side twin of
+    :func:`lds_estep_stationary` -- no sampling, no stat reduction):
+    returns ``(logZ (B,), Ex (B,T,d), ExxT (B,T,d,d), Exnxt
+    (B,T-1,d,d))``. Backs ``models.lds.posterior_moments`` on the
+    production backend for time-homogeneous chains."""
+    logZ, Ex, ExxT, Exnxt, _, _ = _filter_and_moments(
+        init, pair_mats, nodes_diag, block_b=block_b, interpret=interpret,
+        unroll=unroll)
+    return logZ, Ex, ExxT, Exnxt
+
+
+def lds_estep_stationary(init, pair_mats, nodes_diag, key, num_samples,
+                         valid=None, block_b=128, interpret=False,
+                         unroll=None, eps=None):
+    """Packed-layout minibatch E-step for stationary shared pairs and
+    diagonal node potentials. Returns ``(samples (S, B, T, d),
+    (niw_stats, mniw_stats), local_kl)`` -- exactly the reduced contract
+    of models.lds._batched_inference_pallas (parity-tested against it).
+
+    ``pair_mats`` = (E1, E2, E3, Pc): the single expected pair potential
+    under q(theta) (NOT broadcast over time). ``nodes_diag`` = (jd, h),
+    each (B, T, d) with node precision contribution -1/2 diag(jd).
+    ``valid``: optional (B, T) {0,1} frame-validity weights (trailing-pad
+    ragged batches with stationary pairs are handled by the caller via
+    the generic path; ``valid`` here only reweights the MNIW stats).
+    ``eps``: optional (S, B, T, d) noise override (tests)."""
+    I1, I2, Ic = init
+    E1, E2, E3, Pc = pair_mats
+    jd, n2 = nodes_diag
+    B, T, d = n2.shape
+    dd = d * d
+    dt = n2.dtype
+    S = int(num_samples)
+    T1 = T - 1
+    U = _resolve_unroll(interpret, unroll)
+    _, sprim = _prims(d, interpret, U)
+    eyef = jnp.eye(d, dtype=dt).reshape(dd)
+
+    logZ, Ex, ExxT, Exnxt, Jf, hf = _filter_and_moments(
+        init, pair_mats, nodes_diag, block_b=block_b, interpret=interpret,
+        unroll=unroll)
+    JfT = jnp.moveaxis(Jf[-1], -1, 0).reshape(B, d, d)
+    hfT = jnp.moveaxis(hf[-1], -1, 0)
 
     cnt = jnp.asarray(B, dt)
     niw_stats = (jnp.sum(ExxT[:, 0], axis=0), jnp.sum(Ex[:, 0], axis=0),

@@ -186,6 +186,34 @@ def test_stationary_estep_valid_weights():
                                    rtol=1e-9, atol=1e-11)
 
 
+def test_posterior_moments_pallas_backend():
+    """posterior_moments(backend='pallas') rides the packed pipeline and
+    matches the vmapped XLA smoother, batched and unbatched, with and
+    without an evidence mask."""
+    B, T, d = 3, 7, 2
+    ks = jax.random.split(jax.random.key(6), 3)
+    glob = lds.init_pgm_param(ks[0], d, dtype=jnp.float64)
+    jd = jax.nn.softplus(jax.random.normal(ks[1], (B, T, d),
+                                           jnp.float64)) + 0.4
+    h = jax.random.normal(ks[2], (B, T, d), jnp.float64)
+    mask = jnp.ones((B, T)).at[:, 2].set(0)
+
+    for kwargs in ({}, {"mask": mask}):
+        ref = lds.posterior_moments(glob, (jd, h), backend="xla", **kwargs)
+        got = lds.posterior_moments(glob, (jd, h), backend="pallas",
+                                    interpret=True, **kwargs)
+        for r, g in zip(ref, got):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                       rtol=1e-9, atol=1e-11)
+    # single sequence
+    ref = lds.posterior_moments(glob, (jd[0], h[0]), backend="xla")
+    got = lds.posterior_moments(glob, (jd[0], h[0]), backend="pallas",
+                                interpret=True)
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-9, atol=1e-11)
+
+
 def test_model_backend_routes_stationary():
     """run_inference(backend='pallas') with lengths=None goes through the
     packed path and matches the XLA backend end to end (incl. mask)."""
