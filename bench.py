@@ -463,12 +463,21 @@ def measure_gmm(N=1000, K=8, d_latent=2, num_iters=25, S=2, iters=20,
     return 1.0 / dt, cpu_steps, 1.0 / dt_unfused, k_fused
 
 
-def measure_conv_lds(B=8, T=500, hw=(16, 16), d_latent=16, S=2, iters=5):
+def measure_conv_lds(B=8, T=500, hw=(16, 16), d_latent=16, S=2, iters=5,
+                     k_fused=4):
     """BASELINE config 4 shaped train step: conv recognition net over
     16x16 frames + T=500 LDS E-step (fused Pallas on chip) + deconv-MLP
     decoder + natgrad/adam, seqs/sec. The CPU twin is the strongest CPU
     E-step at the SAME (T, d) -- the native C++ sequential smoother+sampler
-    -- mirroring the headline's denominator convention."""
+    -- mirroring the headline's denominator convention.
+
+    r04 protocol: ``k_fused`` DISTINCT minibatches per dispatch via the
+    fused train step (see measure_tpu_estep). The old
+    one-dispatch-per-step loop let a physically impossible 36x-fast
+    artifact through all three slowest-of-three passes once (r04,
+    2026-08-20: 0.73 ms/step for a T=500 train step whose forward chain
+    alone costs more); stacked distinct batches make every step real
+    work."""
     from functools import partial
     import jax
     import jax.numpy as jnp
@@ -480,7 +489,8 @@ def measure_conv_lds(B=8, T=500, hw=(16, 16), d_latent=16, S=2, iters=5):
     H, W = hw
     d_obs = H * W
     rng = np.random.RandomState(0)
-    data = jnp.asarray(rng.rand(B, T, d_obs).astype(np.float32))
+    batches = jnp.asarray(
+        rng.rand(k_fused, B, T, d_obs).astype(np.float32))
     N = 16 * B
     key = jax.random.PRNGKey(0)
     k1, k2, k3, k4 = jax.random.split(key, 4)
@@ -490,27 +500,28 @@ def measure_conv_lds(B=8, T=500, hw=(16, 16), d_latent=16, S=2, iters=5):
         recognition.init_conv_recognize(k3, hw, (16, 32), 3, d_latent),
         decoders.init_mlp_decode(k4, d_latent, (128,), d_obs),
     )
-    opt_init, train_step = loop_lib.make_train_step(
+    opt_init, fused_step = loop_lib.make_fused_train_step(
         partial(lds.run_inference, backend=backend),
         recognition.make_conv_recognize(hw), decoders.mlp_loglike,
-        pgm_prior, N, num_samples=S, donate=False)
+        pgm_prior, N, k_steps=k_fused, num_samples=S, donate=False,
+        stacked_batch=True)
     opt_state = opt_init(pgm_params, net_params)
 
     state = [pgm_params, net_params, opt_state, None]
-    p, n, st, e, _ = train_step(state[0], state[1], state[2], data,
-                                jax.random.PRNGKey(1))
+    p, n, st, e, _, _ = fused_step(state[0], state[1], state[2], batches,
+                                   jax.random.PRNGKey(1))
     jax.block_until_ready(e)
     state = [p, n, st, e]
 
     def run_iters(k):
         p, n, st, e = state
         for i in range(k):
-            p, n, st, e, _ = train_step(p, n, st, data,
-                                        jax.random.PRNGKey(2 + i))
+            p, n, st, e, _, _ = fused_step(p, n, st, batches,
+                                           jax.random.PRNGKey(2 + i))
         state[:] = [p, n, st, e]
         return e
 
-    dt = _lump_time(run_iters, iters, spread_key="conv_lds")
+    dt = _lump_time(run_iters, iters, spread_key="conv_lds") / k_fused
     assert bool(np.isfinite(float(state[3]))), "non-finite conv-LDS ELBO"
     cpu_seqs = measure_cpu_oracle(T=T, d_latent=d_latent, reps=2)
     return B / dt, cpu_seqs, dt
@@ -654,7 +665,7 @@ def main():
         conv_seqs, conv_cpu, _ = measure_conv_lds()
         result["conv_lds_train_seqs_per_sec"] = round(conv_seqs, 2)
         result["conv_lds_vs_cpu_estep"] = round(conv_seqs / conv_cpu, 2)
-        result["conv_lds_spread"] = _spread_seqs("conv_lds", 8)
+        result["conv_lds_spread"] = _spread_seqs("conv_lds", 4 * 8)
     except Exception:
         result["conv_lds_train_seqs_per_sec"] = None
     # min/max of the three timing passes per headline row (run-to-run
