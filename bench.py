@@ -358,7 +358,7 @@ def measure_hmm(B=128, T=100, K=8, iters=20):
 
 
 def measure_gmm(N=1000, K=8, d_latent=2, num_iters=25, S=2, iters=20,
-                k_fused=10):
+                k_fused=40):
     """GMM-SVAE full-batch SVI step (BASELINE config 1 shapes: pinwheel
     N=1000, K=8, d=2, 25 mean-field sweeps, 2 MC samples) steps/sec on
     chip, plus the CPU mean-field E-step twin (vectorized f64 NumPy --
