@@ -67,23 +67,40 @@ def main():
 
     loop_lib, train_step, pgm, net, opt, data = build()
 
+    K_GRP = 16  # production loop shape: a whole epoch per dispatch
+
     # warm the compile cache (same programs loop.run dispatches, incl. the
-    # shuffle permutation + batch gather) with one untimed epoch
+    # shuffle permutation + batch gather) with one untimed epoch each way
     pgm, net, opt, _, _ = loop_lib.run(
         train_step, pgm, net, opt, data, jax.random.PRNGKey(1),
         num_epochs=1, batch_size=B, callback_every=1_000_000)
+    pgm, net, opt, _, _ = loop_lib.run(
+        train_step, pgm, net, opt, data, jax.random.PRNGKey(1),
+        num_epochs=1, batch_size=B, callback_every=1_000_000,
+        steps_per_dispatch=K_GRP)
 
     t0 = time.perf_counter()
     p, n, o, hist, _ = loop_lib.run(
         train_step, pgm, net, opt, data, jax.random.PRNGKey(2),
-        num_epochs=EPOCHS, batch_size=B, callback_every=1_000_000)
+        num_epochs=EPOCHS, batch_size=B, callback_every=1_000_000,
+        steps_per_dispatch=K_GRP)
     dt_loop = (time.perf_counter() - t0) / len(hist)
     assert np.isfinite(hist[-1]), "non-finite ELBO in loop run"
     loop_seqs = B / dt_loop
     report["loop_run_seqs_per_sec"] = round(loop_seqs, 2)
     report["loop_run_step_ms"] = round(dt_loop * 1e3, 3)
-    print(f"loop.run: {loop_seqs:.0f} seqs/s ({dt_loop * 1e3:.2f} ms/step, "
-          f"{len(hist)} steps)", flush=True)
+    report["steps_per_dispatch"] = K_GRP
+    print(f"loop.run(k={K_GRP}): {loop_seqs:.0f} seqs/s "
+          f"({dt_loop * 1e3:.2f} ms/step, {len(hist)} steps)", flush=True)
+
+    t0 = time.perf_counter()
+    _, _, _, hist1, _ = loop_lib.run(
+        train_step, pgm, net, opt, data, jax.random.PRNGKey(2),
+        num_epochs=1, batch_size=B, callback_every=1_000_000)
+    dt1 = (time.perf_counter() - t0) / len(hist1)
+    report["loop_run_per_step_dispatch_seqs_per_sec"] = round(B / dt1, 2)
+    print(f"loop.run(k=1): {B / dt1:.0f} seqs/s (per-dispatch overhead "
+          f"reference)", flush=True)
 
     bench_seqs, bench_dt = bench.measure_tpu_steps("auto", B=B, T=T,
                                                    d_obs=D_OBS, d_latent=D)

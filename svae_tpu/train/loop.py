@@ -92,8 +92,38 @@ def make_fused_train_step(run_inference, recognize, loglike, pgm_prior, N,
     return opt_init, jax.jit(fused, donate_argnums=donate_argnums)
 
 
+_FUSED_GROUP_CACHE = {}
+
+
+def _fused_group_for(train_step, k_grp):
+    """Jitted k-step scan group for ``loop.run(steps_per_dispatch=k)``,
+    cached per (train_step, k) -- a fresh closure per run() call would
+    recompile every time (the scan body inlines the jitted step)."""
+    cache_key = (id(train_step), k_grp)
+    hit = _FUSED_GROUP_CACHE.get(cache_key)
+    if hit is not None and hit[0] is train_step:  # id() can be recycled
+        return hit[1]
+
+    @jax.jit
+    def fused_group(pgm, net, st, batches, key):
+        def body(c, b):
+            pgm, net, st, key = c
+            key, ks = jax.random.split(key)
+            pgm, net, st, elbo, terms = train_step(pgm, net, st, b, ks)
+            return (pgm, net, st, key), (elbo, terms)
+
+        (pgm, net, st, key), (elbos, terms_h) = jax.lax.scan(
+            body, (pgm, net, st, key), batches)
+        terms = jax.tree.map(lambda x: x[-1], terms_h)
+        return pgm, net, st, key, elbos, terms
+
+    _FUSED_GROUP_CACHE[cache_key] = (train_step, fused_group)
+    return fused_group
+
+
 def run(train_step, pgm_params, net_params, opt_state, data, key, num_epochs,
-        batch_size, callback=None, callback_every=1, shuffle=True):
+        batch_size, callback=None, callback_every=1, shuffle=True,
+        steps_per_dispatch=1):
     """Host-side epoch loop (reference: svae/optimizers.py:adam loop).
 
     ``data`` is a single array with leading datapoint/sequence axis; batches
@@ -109,6 +139,18 @@ def run(train_step, pgm_params, net_params, opt_state, data, key, num_epochs,
     ``callback_every > 1`` steps dispatch back-to-back and the measured
     throughput matches the chained-dispatch benchmark (bench.py).
 
+    ``steps_per_dispatch > 1`` runs groups of that many consecutive steps
+    inside ONE jitted ``lax.scan`` dispatch (the device-resident loop
+    shape): per-step host work -- the PRNG split round-trip and the batch
+    gather -- moves on device, which matters wherever dispatch latency is
+    non-trivial (measured on this setup: the per-step loop reaches only
+    ~23% of the chained-dispatch throughput,
+    benchmarks/loop_throughput.py). The PRNG split pattern is identical,
+    so trajectories are bit-for-bit those of the per-step loop (tested);
+    callbacks fire at group boundaries (their per-step cadence is rounded
+    up to the group), and a trailing partial group falls back to per-step
+    dispatches.
+
     Returns (pgm_params, net_params, opt_state, elbo_history, key).
     """
     N = data.shape[0]
@@ -116,22 +158,38 @@ def run(train_step, pgm_params, net_params, opt_state, data, key, num_epochs,
     history = []
     step_idx = 0
     total_steps = num_epochs * num_batches
+    k_grp = max(int(steps_per_dispatch), 1)
+    fused_group = _fused_group_for(train_step, k_grp) if k_grp > 1 else None
+
     for epoch in range(num_epochs):
         key, kperm = jax.random.split(key)
         if shuffle:
             perm = jax.random.permutation(kperm, N)
         else:
             perm = jnp.arange(N)
-        for b in range(num_batches):
-            batch = data[perm[b * batch_size:(b + 1) * batch_size]]
-            key, kstep = jax.random.split(key)
-            pgm_params, net_params, opt_state, elbo, terms = train_step(
-                pgm_params, net_params, opt_state, batch, kstep
-            )
-            history.append(elbo)  # device scalar -- no host sync
-            step_idx += 1
+        b = 0
+        while b < num_batches:
+            if k_grp > 1 and b + k_grp <= num_batches:
+                grp = data[perm[b * batch_size:(b + k_grp) * batch_size]]
+                grp = grp.reshape((k_grp, batch_size) + data.shape[1:])
+                (pgm_params, net_params, opt_state, key, elbos,
+                 terms) = fused_group(pgm_params, net_params, opt_state,
+                                      grp, key)
+                history.extend(list(elbos))
+                step_idx += k_grp
+                elbo = elbos[-1]
+                b += k_grp
+            else:
+                batch = data[perm[b * batch_size:(b + 1) * batch_size]]
+                key, kstep = jax.random.split(key)
+                pgm_params, net_params, opt_state, elbo, terms = train_step(
+                    pgm_params, net_params, opt_state, batch, kstep
+                )
+                history.append(elbo)  # device scalar -- no host sync
+                step_idx += 1
+                b += 1
             if callback is not None and (
-                    step_idx % callback_every == 0
+                    step_idx % callback_every < (k_grp if k_grp > 1 else 1)
                     or step_idx == total_steps):
                 callback(step_idx - 1, float(elbo),
                          (pgm_params, net_params, opt_state), terms, key)

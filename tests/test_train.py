@@ -153,6 +153,34 @@ def test_preemption_resume_continues_trajectory(tmp_path):
     np.testing.assert_allclose(hist_a + hist_b, hist_full, rtol=1e-12)
 
 
+def test_loop_steps_per_dispatch_matches_per_step():
+    """loop.run(steps_per_dispatch=k) reproduces the per-step loop's
+    trajectory exactly (same PRNG split stream, same batches -- incl. a
+    trailing partial group when k does not divide steps-per-epoch)."""
+    pgm_prior, pgm_params, net_params, run_inf = _build()
+    data = jnp.asarray(make_pinwheel(num_per_class=16), jnp.float64)
+    N = data.shape[0]  # 80 -> 5 batches of 16 per epoch
+    opt_init, step = loop_lib.make_train_step(
+        run_inf, recognition.mlp_recognize, decoders.mlp_loglike,
+        pgm_prior, N, num_samples=1, donate=False)
+
+    outs = {}
+    for k_grp in (1, 2):  # 5 batches: two groups of 2 + one per-step tail
+        s0 = opt_init(pgm_params, net_params)
+        outs[k_grp] = loop_lib.run(
+            step, pgm_params, net_params, s0, data, jax.random.PRNGKey(3),
+            num_epochs=2, batch_size=16, shuffle=True,
+            steps_per_dispatch=k_grp)
+    p1, n1, _, hist1, key1 = outs[1]
+    p2, n2, _, hist2, key2 = outs[2]
+    assert len(hist1) == len(hist2) == 10
+    np.testing.assert_allclose(hist2, hist1, rtol=1e-12)
+    np.testing.assert_array_equal(np.asarray(key2), np.asarray(key1))
+    for a, b in zip(jax.tree.leaves((p1, n1)), jax.tree.leaves((p2, n2))):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-11, atol=1e-13)
+
+
 def test_fused_train_step_matches_sequential():
     """make_fused_train_step(k) == k applications of make_train_step with
     the same on-device key-split stream (full-batch GMM; the production
