@@ -24,6 +24,11 @@ class TrainConfig:
     natgrad_scale: float = 1.0
     seed: int = 0
     metrics_every: int = 1  # callback/metrics cadence (device fence period)
+    # steps per jitted dispatch in loop.run (1 = classic per-step loop;
+    # >1 scans k consecutive steps device-resident -- same trajectories,
+    # callbacks at group granularity; see train/loop.py). Checkpoint
+    # cadence rounds to group boundaries accordingly.
+    steps_per_dispatch: int = 1
     metrics_path: Optional[str] = None
     checkpoint_dir: Optional[str] = None
     checkpoint_every: int = 500

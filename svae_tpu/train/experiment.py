@@ -99,6 +99,8 @@ def run(train_cfg, train_step, pgm_params, net_params, opt_state, data,
                 num_epochs=epochs_left,
                 batch_size=train_cfg.batch_size, callback=callback,
                 callback_every=every,
+                steps_per_dispatch=getattr(train_cfg,
+                                           "steps_per_dispatch", 1),
             )
     finally:
         if train_cfg.profile_dir:
