@@ -14,6 +14,22 @@ svae/lds/cython_lds_inference.pyx; svae/hmm/*):
   * ``hmm``      - associative-scan HMM forward/backward with
                    ``expectedstats = grad(logZ)`` (arXiv:2102.05743).
 
+The production TPU fast paths live beside them (docs/DESIGN.md):
+
+  * ``pallas_vjp``    - fused differentiable Pallas kernels with
+                        hand-derived adjoints (generic per-sequence pair
+                        layout; ``fb_pass`` auto-routes layouts).
+  * ``pallas_bidir``  - bidirectional lane packing: both information
+                        filters on one 128-lane set, one chain step per
+                        grid step (round 4).
+  * ``pallas_estep``  - the fully packed stationary-diagonal E-step /
+                        moments pipeline (round 4; the flagship LDS path).
+  * ``pallas_hmm``    - fused HMM forward-backward + softmax-weight
+                        adjoint (the SLDS z-step path).
+  * ``pallas_kalman``, ``pallas_chunked`` - forward-only fused kernels
+                        and the measured-and-rejected chunks-on-lanes
+                        flavor.
+
 Shared natural-parameter convention for a length-T linear-Gaussian chain
 over x_1..x_T (all kernels and oracles):
 
