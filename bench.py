@@ -310,40 +310,57 @@ def measure_slds(B=16, T=50, K=4, d_latent=3, num_iters=10, iters=10,
     return tpu_seqs, cpu_seqs, dt
 
 
-def measure_hmm(B=128, T=100, K=8, iters=20):
+def measure_hmm(B=128, T=100, K=8, iters=20, k_fused=8):
     """HMM posterior (logZ + node/pair marginals) seqs/sec: fused Pallas
     forward-backward kernel (headline) and the XLA batched custom-VJP
-    log-matmul path, vs the native C++ sequential twin."""
+    log-matmul path, vs the native C++ sequential twin.
+
+    r04 stacked-scan protocol (see measure_tpu_estep): ``k_fused``
+    DISTINCT observation batches per dispatch, results reduced into the
+    scan carry -- the old loop re-dispatched identical inputs, which the
+    tunnel can serve from cache."""
     import jax
     import jax.numpy as jnp
     from svae_tpu.ops import hmm, pallas_hmm, native, oracles
 
     key = jax.random.PRNGKey(0)
-    log_obs = jax.random.normal(key, (B, T, K))
+    log_obs = jax.random.normal(key, (k_fused, B, T, K))
     pi0 = jnp.full((K,), -np.log(K))
     Pi = jnp.full((K, K), -np.log(K))
 
-    def time_fn(f, spread_key=None):
+    def time_fn(post, spread_key=None):
+        def body(acc, lo):
+            logZ, node, pair_sum, r1 = post(lo)
+            return acc + jnp.sum(logZ) + jnp.sum(pair_sum[0]), None
+
+        @jax.jit
+        def f(los):
+            return jax.lax.scan(body, jnp.zeros((), los.dtype), los)[0]
+
         out = f(log_obs)
         jax.block_until_ready(out)
+        assert bool(np.isfinite(float(out)))
 
         def run_iters(k):
-            for _ in range(k):
-                out = f(log_obs)
+            for i in range(k):
+                out = f(log_obs + 1e-6 * i)
             return out
 
-        return _lump_time(run_iters, iters, spread_key=spread_key)
+        # untimed chained warmup: the first chained batch after compile
+        # pays a one-off ~25 ms initialization (observed on-chip) that
+        # would otherwise eat one slowest-of-three pass
+        jax.block_until_ready(run_iters(2))
+        return _lump_time(run_iters, iters, spread_key=spread_key) / k_fused
 
     interp = jax.default_backend() != "tpu"  # Mosaic needs the chip
-    dt = time_fn(jax.jit(
-        lambda lo: pallas_hmm.hmm_posterior(pi0, Pi, lo, interpret=interp)),
+    dt = time_fn(
+        lambda lo: pallas_hmm.hmm_posterior(pi0, Pi, lo, interpret=interp),
         spread_key="hmm")
     tpu_seqs = B / dt
-    dt_xla = time_fn(jax.jit(jax.vmap(
-        lambda lo: hmm.hmm_posterior(pi0, Pi, lo))))
+    dt_xla = time_fn(jax.vmap(lambda lo: hmm.hmm_posterior(pi0, Pi, lo)))
     tpu_seqs_xla = B / dt_xla
 
-    lo = np.asarray(log_obs[0], np.float64)
+    lo = np.asarray(log_obs[0, 0], np.float64)
     log_init = np.full(K, -np.log(K))
     log_trans = np.log(np.full((K, K), 1.0 / K))
     marg = (native.hmm_marginals_seq if native.available()
@@ -644,7 +661,7 @@ def main():
         result["hmm_posterior_seqs_per_sec"] = round(hmm_tpu, 2)
         result["hmm_posterior_xla_seqs_per_sec"] = round(hmm_xla, 2)
         result["hmm_vs_cpu"] = round(hmm_tpu / hmm_cpu, 2)
-        result["hmm_spread"] = _spread_seqs("hmm", 128)
+        result["hmm_spread"] = _spread_seqs("hmm", 8 * 128)
     except Exception:
         result["hmm_posterior_seqs_per_sec"] = None
     try:
