@@ -127,6 +127,7 @@ def measure_tpu_steps(backend, B=64, T=100, d_obs=20, d_latent=10,
         state[:] = [p, n, st, e]
         return e
 
+    jax.block_until_ready(run_iters(2))  # chained warmup (see measure_hmm)
     dt = _lump_time(run_iters, iters,
                     spread_key=f"train_{backend}_b{B}")
     dt = dt / k_fused
@@ -226,6 +227,7 @@ def measure_tpu_estep(backend, B=64, T=100, d_latent=10, num_samples=2,
             out = f(Js, hs, jax.random.PRNGKey(2 + i))
         return out
 
+    jax.block_until_ready(run_iters(2))  # chained warmup (see measure_hmm)
     dt = _lump_time(run_iters, iters, spread_key=f"estep_{backend}_b{B}")
     assert bool(np.isfinite(float(out))), "non-finite E-step checksum"
     return k_fused * B / dt
@@ -278,6 +280,7 @@ def measure_slds(B=16, T=50, K=4, d_latent=3, num_iters=10, iters=10,
             out = f(Js, hs, jax.random.PRNGKey(2 + i))
         return out
 
+    jax.block_until_ready(run_iters(2))  # chained warmup (see measure_hmm)
     dt = _lump_time(run_iters, iters, spread_key="slds") / k_fused
     assert bool(np.isfinite(float(out)))
     tpu_seqs = B / dt
@@ -455,6 +458,7 @@ def measure_gmm(N=1000, K=8, d_latent=2, num_iters=25, S=2, iters=20,
         fstate[:] = [p, n, st, e, kk]
         return e
 
+    jax.block_until_ready(run_fused(2))  # chained warmup (see measure_hmm)
     dt = _lump_time(run_fused, iters, spread_key="gmm") / k_fused
     assert bool(np.isfinite(float(fstate[3]))), "non-finite GMM ELBO"
 
@@ -538,6 +542,7 @@ def measure_conv_lds(B=8, T=500, hw=(16, 16), d_latent=16, S=2, iters=5,
         state[:] = [p, n, st, e]
         return e
 
+    jax.block_until_ready(run_iters(2))  # chained warmup (see measure_hmm)
     dt = _lump_time(run_iters, iters, spread_key="conv_lds") / k_fused
     assert bool(np.isfinite(float(state[3]))), "non-finite conv-LDS ELBO"
     cpu_seqs = measure_cpu_oracle(T=T, d_latent=d_latent, reps=2)
