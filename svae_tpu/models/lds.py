@@ -359,8 +359,18 @@ def run_inference(prior_natparam, global_natparam, nn_potentials, key,
     T = J_diag.shape[-2]
     if lengths is not None and not batched:
         raise ValueError("lengths= requires batched (B, T, d) potentials")
-    init, pairs = expected_chain_potentials(global_natparam, T,
-                                            dtype=h.dtype)
+    # compute the expected potentials ONCE; broadcast over T-1 only for
+    # the paths that consume streamed pairs (the stationary Pallas
+    # pipeline takes the single matrices directly)
+    niw_np_, mniw_np_ = global_natparam
+    (I1_, I2_), Ic_ = niw.expected_gaussian_natparam(niw_np_)
+    pair_mats = mniw.expected_pair_potential(mniw_np_)
+    init, pair_mats = jax.tree.map(
+        lambda a: a.astype(h.dtype), ((I1_, I2_, Ic_), pair_mats))
+    stationary_fast = backend == "pallas" and lengths is None
+    if not stationary_fast:
+        bcast = lambda a: jnp.broadcast_to(a, (T - 1,) + a.shape)
+        pairs = tuple(bcast(p) for p in pair_mats)
 
     B = J_diag.shape[0] if batched else 1
     ev_mask = _evidence_mask(mask, lengths, B, T, h.dtype)
@@ -376,14 +386,10 @@ def run_inference(prior_natparam, global_natparam, nn_potentials, key,
         if not batched:
             J_diag, h = J_diag[None], h[None]
         if lengths is None:
-            # time-homogeneous chain (expected_chain_potentials broadcast
-            # one pair matrix over T-1): the fully packed
-            # stationary-diagonal pipeline skips the broadcast streams
-            # and every (B, T, d, d) materialization.
-            niw_np, mniw_np = global_natparam
-            E1, E2, E3, Pc = mniw.expected_pair_potential(mniw_np)
-            pair_mats = jax.tree.map(lambda a: a.astype(h.dtype),
-                                     (E1, E2, E3, Pc))
+            # time-homogeneous chain: the fully packed
+            # stationary-diagonal pipeline takes the single pair
+            # matrices directly -- no broadcast streams, no
+            # (B, T, d, d) materialization anywhere.
             samples, stats, local_kl = _batched_inference_pallas_stationary(
                 init, pair_mats, (J_diag, h), key, num_samples,
                 interpret=interpret, valid=valid)

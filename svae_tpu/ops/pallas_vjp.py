@@ -1118,8 +1118,16 @@ def fb_pass(init, pairs, nodes, block_b=128, interpret=False,
     shapes and the SLDS mean-field sweeps. ``True``/``False`` force."""
     B_ = nodes[1].shape[0]
     if bidir is None:
-        bidir = -(-2 * B_ // block_b) < 2 * (-(-B_ // block_b))
+        # an explicit fused_adj request must reach the interleaved
+        # kernels (the bidir layout has its own unified adjoint and
+        # would silently ignore it)
+        bidir = (not fused_adj
+                 and -(-2 * B_ // block_b) < 2 * (-(-B_ // block_b)))
     if bidir:
+        if fused_adj:
+            raise ValueError(
+                "fused_adj=True is an interleaved-layout option; it "
+                "cannot combine with bidir=True")
         from svae_tpu.ops import pallas_bidir
         return pallas_bidir.fb_pass(init, pairs, nodes, block_b=block_b,
                                     interpret=interpret, unroll=unroll)

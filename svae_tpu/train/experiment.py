@@ -14,6 +14,22 @@ from svae_tpu.train import loop as loop_lib
 from svae_tpu.train.metrics import MetricsWriter
 
 
+def _restore_with_counters(path, head_state, n_counters):
+    """Restore ``head_state + (counter,) * n_counters`` trying int64 then
+    int32 counter templates: the v2 dtype check is strict, and checkpoints
+    written before the int64 pinning stored step counters in whichever
+    width the writer's x64 mode produced."""
+    for ctype in (np.int64, np.int32):
+        state = head_state + tuple(
+            np.zeros((), ctype) for _ in range(n_counters))
+        try:
+            return ckpt_lib.restore(path, state)
+        except ValueError as e:
+            if "dtype mismatch" not in str(e) or ctype is np.int32:
+                raise
+    raise AssertionError("unreachable")
+
+
 def run(train_cfg, train_step, pgm_params, net_params, opt_state, data,
         extra_callback=None):
     """Run the training loop per ``TrainConfig``; returns
@@ -46,10 +62,13 @@ def run(train_cfg, train_step, pgm_params, net_params, opt_state, data,
             # step counter pinned to a jax-config-independent dtype
             # (np.int64): jnp.asarray(int) is int32 or int64 depending on
             # x64 mode, which would trip the restore dtype check.
-            state = (pgm_params, net_params, opt_state, key,
-                     np.zeros((), np.int64))
+            # Checkpoints written before this pinning stored the step as
+            # int32/int64 per the writer's x64 mode -- retry counter-only
+            # templates so pre-upgrade runs stay resumable.
             pgm_params, net_params, opt_state, key, step_arr = (
-                ckpt_lib.restore(latest, state))
+                _restore_with_counters(latest,
+                                       (pgm_params, net_params, opt_state,
+                                        key), 1))
             key = jnp.asarray(key)
             start_step = int(step_arr)
 
@@ -61,6 +80,8 @@ def run(train_cfg, train_step, pgm_params, net_params, opt_state, data,
     writer = MetricsWriter(train_cfg.metrics_path)
     t_last = [time.perf_counter()]
     every = max(int(train_cfg.metrics_every), 1)
+    last_fired = [start_step - 1]   # last global step a callback covered
+    last_ckpt = [start_step // max(train_cfg.checkpoint_every, 1)]
 
     if train_cfg.profile_dir:
         jax.profiler.start_trace(train_cfg.profile_dir)
@@ -73,12 +94,22 @@ def run(train_cfg, train_step, pgm_params, net_params, opt_state, data,
         extra = {}
         if terms is not None:
             extra = {k: float(v) for k, v in terms.items()}
-        per_step = dt / every
+        # true steps since the previous firing: with grouped dispatch
+        # (steps_per_dispatch > 1) the callback cadence rounds to group
+        # boundaries, so dividing by metrics_every would overstate the
+        # step time by the group factor
+        n_steps = max(global_step - last_fired[0], 1)
+        last_fired[0] = global_step
+        per_step = dt / n_steps
         writer.write(global_step, elbo=elbo, step_time_s=round(per_step, 5),
                      steps_per_sec=round(1.0 / max(per_step, 1e-9), 3),
                      **extra)
-        if (train_cfg.checkpoint_dir
-                and (global_step + 1) % train_cfg.checkpoint_every == 0):
+        # checkpoint when a cadence boundary was CROSSED since the last
+        # firing (exact-multiple equality never holds when the boundary
+        # falls inside a dispatch group)
+        ckpt_idx = (global_step + 1) // max(train_cfg.checkpoint_every, 1)
+        if train_cfg.checkpoint_dir and ckpt_idx > last_ckpt[0]:
+            last_ckpt[0] = ckpt_idx
             p, n, s = params
             ckpt_lib.save(
                 os.path.join(train_cfg.checkpoint_dir,
@@ -143,10 +174,10 @@ def run_with_loader(train_cfg, train_step, pgm_params, net_params,
         latest = ckpt_lib.latest(train_cfg.checkpoint_dir,
                                  prefix="ckpt_epoch_")
         if latest is not None:
-            state = (pgm_params, net_params, opt_state, key,
-                     np.zeros((), np.int64), np.zeros((), np.int64))
             pgm_params, net_params, opt_state, key, ep_arr, st_arr = (
-                ckpt_lib.restore(latest, state))
+                _restore_with_counters(latest,
+                                       (pgm_params, net_params, opt_state,
+                                        key), 2))
             key = jnp.asarray(key)
             epochs_done = min(int(ep_arr), train_cfg.num_epochs)
             steps_done = int(st_arr)

@@ -93,12 +93,17 @@ def make_fused_train_step(run_inference, recognize, loglike, pgm_prior, N,
 
 
 _FUSED_GROUP_CACHE = {}
+_FUSED_GROUP_CACHE_MAX = 8  # bounded: entries hold train-step closures
+                            # and compiled executables alive
 
 
 def _fused_group_for(train_step, k_grp):
     """Jitted k-step scan group for ``loop.run(steps_per_dispatch=k)``,
     cached per (train_step, k) -- a fresh closure per run() call would
-    recompile every time (the scan body inlines the jitted step)."""
+    recompile every time (the scan body inlines the jitted step). The
+    cache is FIFO-bounded (jitted step fns do not reliably support weak
+    references) so long-lived processes cycling through many train steps
+    do not leak closures/executables."""
     cache_key = (id(train_step), k_grp)
     hit = _FUSED_GROUP_CACHE.get(cache_key)
     if hit is not None and hit[0] is train_step:  # id() can be recycled
@@ -117,6 +122,8 @@ def _fused_group_for(train_step, k_grp):
         terms = jax.tree.map(lambda x: x[-1], terms_h)
         return pgm, net, st, key, elbos, terms
 
+    while len(_FUSED_GROUP_CACHE) >= _FUSED_GROUP_CACHE_MAX:
+        _FUSED_GROUP_CACHE.pop(next(iter(_FUSED_GROUP_CACHE)))
     _FUSED_GROUP_CACHE[cache_key] = (train_step, fused_group)
     return fused_group
 
@@ -176,9 +183,8 @@ def run(train_step, pgm_params, net_params, opt_state, data, key, num_epochs,
                  terms) = fused_group(pgm_params, net_params, opt_state,
                                       grp, key)
                 history.extend(list(elbos))
-                step_idx += k_grp
+                advanced = k_grp
                 elbo = elbos[-1]
-                b += k_grp
             else:
                 batch = data[perm[b * batch_size:(b + 1) * batch_size]]
                 key, kstep = jax.random.split(key)
@@ -186,10 +192,14 @@ def run(train_step, pgm_params, net_params, opt_state, data, key, num_epochs,
                     pgm_params, net_params, opt_state, batch, kstep
                 )
                 history.append(elbo)  # device scalar -- no host sync
-                step_idx += 1
-                b += 1
+                advanced = 1
+            step_idx += advanced
+            b += advanced
+            # fire when a cadence multiple fell within the steps just
+            # executed (for advanced == 1 this is the classic
+            # step_idx % every == 0 condition)
             if callback is not None and (
-                    step_idx % callback_every < (k_grp if k_grp > 1 else 1)
+                    step_idx % callback_every < advanced
                     or step_idx == total_steps):
                 callback(step_idx - 1, float(elbo),
                          (pgm_params, net_params, opt_state), terms, key)
