@@ -58,6 +58,115 @@ def build(backend="auto"):
         opt_init(pgm_params, net_params), data
 
 
+def ragged_loader_section():
+    """The loader/ragged path at the device-resident loop shape (round-4
+    verdict missing #1): ``run_loader(steps_per_dispatch=k)`` over a
+    length-bucketed corpus with ``group_by_shape=True`` vs (a) the same
+    loader per-step-dispatch and (b) the pure chained-dispatch reference
+    (the same bucket groups scanned back-to-back with zero loader/host
+    work). Gate: grouped >= 70% of chained (per-step ran at ~28% on this
+    tunnel in r04)."""
+    from svae_tpu.data import loader
+    from svae_tpu.models import lds
+    from svae_tpu.nets import decoders, recognition
+    from svae_tpu.train import loop as loop_lib
+
+    K_GRP = 8
+    RB, T_MIN, T_MAX, PAD = 16, 32, 128, 32
+    N_SEQS = 512  # 32 batches/epoch over ~4 padded-T buckets
+    rng = np.random.RandomState(0)
+    seqs = [rng.randn(int(rng.randint(T_MIN, T_MAX + 1)), D_OBS)
+            .astype(np.float32) for _ in range(N_SEQS)]
+
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 4)
+    prior = lds.init_pgm_param(ks[0], D)
+    # keep master params host-side: the grouped loop donates its device
+    # input buffers, so every section starts from a fresh device copy
+    params_h = jax.device_get(lds.init_pgm_param(ks[1], D))
+    net_h = jax.device_get(
+        (recognition.init_mlp_recognize(ks[2], D_OBS, (64,), D),
+         decoders.init_mlp_decode(ks[3], D, (64,), D_OBS)))
+    mk = lambda: (jax.tree.map(jnp.asarray, params_h),
+                  jax.tree.map(jnp.asarray, net_h))
+    opt_init, step = loop_lib.make_train_step(
+        lds.run_inference, recognition.mlp_recognize, decoders.mlp_loglike,
+        prior, N_SEQS, num_samples=1, donate=False, ragged=True)
+    get_batches = loader.make_loader(seqs, RB, seed=1, pad_multiple=PAD,
+                                     drop_remainder=True,
+                                     group_by_shape=True)
+    n_steps = sum(1 for _ in get_batches(0))
+
+    def time_loader(k_grp, epochs=2):
+        params, net = mk()
+        # one untimed warm epoch (compiles every bucket shape both ways)
+        p, n, s, _, _ = loop_lib.run_loader(
+            step, params, net, opt_init(params, net), get_batches,
+            jax.random.PRNGKey(1), num_epochs=1, steps_per_dispatch=k_grp)
+        t0 = time.perf_counter()
+        p, n, s, hist, _ = loop_lib.run_loader(
+            step, p, n, s, get_batches, jax.random.PRNGKey(2),
+            num_epochs=epochs, steps_per_dispatch=k_grp)
+        dt = (time.perf_counter() - t0) / len(hist)
+        assert np.isfinite(hist[-1]), "non-finite ELBO in ragged loop"
+        return RB / dt
+
+    grouped = time_loader(K_GRP)
+    per_step = time_loader(1)
+
+    # pure chained-dispatch reference: pre-stacked bucket groups, no
+    # loader/host work at all (the fused_group programs are already warm)
+    fg = loop_lib._fused_group_for(step, K_GRP)
+    batches = [(jnp.asarray(f), jnp.asarray(l)) for f, l in get_batches(0)]
+    groups, buf, sig = [], [], None
+    for b in batches:
+        s_ = loop_lib._batch_signature(b)
+        if buf and s_ != sig:
+            buf = []
+        buf.append(b)
+        sig = s_
+        if len(buf) == K_GRP:
+            groups.append(jax.tree.map(lambda *xs: jnp.stack(xs), *buf))
+            buf = []
+    assert groups, "no full groups formed -- corpus/bucketing mismatch"
+
+    def chain_once(p, n, s, k):
+        for g in groups:
+            p, n, s, k, elbos, _ = fg(p, n, s, g, k)
+        return p, n, s, k, elbos
+
+    params, net = mk()
+    p, n, s, k = params, net, opt_init(params, net), jax.random.PRNGKey(3)
+    p, n, s, k, e = chain_once(p, n, s, k)  # warm + first-dispatch init
+    jax.block_until_ready(e)
+    dts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(2):
+            p, n, s, k, e = chain_once(p, n, s, k)
+        jax.block_until_ready(e)
+        dts.append((time.perf_counter() - t0) / (2 * len(groups) * K_GRP))
+    chained = RB / max(dts)
+
+    ratio = grouped / chained
+    out = {
+        "config": {"N": N_SEQS, "T_min": T_MIN, "T_max": T_MAX,
+                   "batch": RB, "pad_multiple": PAD, "k_grp": K_GRP,
+                   "steps_per_epoch": n_steps,
+                   "full_groups_per_epoch": len(groups)},
+        "grouped_seqs_per_sec": round(grouped, 1),
+        "per_step_seqs_per_sec": round(per_step, 1),
+        "chained_seqs_per_sec": round(chained, 1),
+        "grouped_over_chained": round(ratio, 4),
+        "per_step_over_chained": round(per_step / chained, 4),
+        "pass": bool(ratio >= 0.70),
+    }
+    print(f"ragged loader: grouped {grouped:.0f} vs per-step {per_step:.0f}"
+          f" vs chained {chained:.0f} seqs/s -> grouped/chained "
+          f"{ratio:.3f}", flush=True)
+    return out
+
+
 def main():
     import bench  # repo root (sys.path[0] after insert above)
 
@@ -93,9 +202,12 @@ def main():
     print(f"loop.run(k={K_GRP}): {loop_seqs:.0f} seqs/s "
           f"({dt_loop * 1e3:.2f} ms/step, {len(hist)} steps)", flush=True)
 
+    # NOTE: use the state returned by the grouped run -- the grouped path
+    # donates its input param/state buffers (train/loop._fused_group_for),
+    # so `pgm/net/opt` above are dead on TPU after the timed run
     t0 = time.perf_counter()
     _, _, _, hist1, _ = loop_lib.run(
-        train_step, pgm, net, opt, data, jax.random.PRNGKey(2),
+        train_step, p, n, o, data, jax.random.PRNGKey(2),
         num_epochs=1, batch_size=B, callback_every=1_000_000)
     dt1 = (time.perf_counter() - t0) / len(hist1)
     report["loop_run_per_step_dispatch_seqs_per_sec"] = round(B / dt1, 2)
@@ -113,6 +225,9 @@ def main():
     # loop.run pays real data shuffling + batch gathers the bench skips;
     # the gate is "no per-step host fence", i.e. >= 0.85 of chained rate.
     report["pass"] = bool(ratio >= 0.85)
+
+    report["ragged"] = ragged_loader_section()
+    report["pass"] = bool(report["pass"] and report["ragged"]["pass"])
 
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "out")
     os.makedirs(out, exist_ok=True)

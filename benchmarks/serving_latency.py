@@ -48,7 +48,10 @@ def measure(n_streams, key):
     jax.block_until_ready(out)
 
     dts = []
-    for _ in range(2):
+    # slowest-of-THREE, same variance guard as bench._lump_time (a
+    # two-pass max was observed to let a bogus-fast artifact through
+    # under host contention -- round-3 advisor finding)
+    for _ in range(3):
         s = state
         t0 = time.perf_counter()
         for _ in range(ITERS):
@@ -78,7 +81,7 @@ def measure_slds(n_streams, key, K=4):
     state, out = step(state, (Jd, hv))
     jax.block_until_ready(out)
     dts = []
-    for _ in range(2):
+    for _ in range(3):  # slowest-of-three (see measure)
         s = state
         t0 = time.perf_counter()
         for _ in range(ITERS):

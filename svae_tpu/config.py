@@ -32,6 +32,10 @@ class TrainConfig:
     metrics_path: Optional[str] = None
     checkpoint_dir: Optional[str] = None
     checkpoint_every: int = 500
+    # opt-in lossy dtype coercion on restore (e.g. resuming an f64-trained
+    # checkpoint into an f32 template after a precision migration); the
+    # default keeps checkpoint.restore's strict dtype check
+    checkpoint_cast: bool = False
     profile_dir: Optional[str] = None
     debug_nans: bool = False
     plot_path: Optional[str] = None  # write a PNG summary after training

@@ -57,7 +57,7 @@ def _round_up(t, m):
 
 def ragged_epoch_batches(sequences, batch_size, seed=0, epoch=0,
                          pad_multiple=8, drop_remainder=False,
-                         dtype=None):
+                         dtype=None, group_by_shape=False):
     """Length-bucketed epoch over a ragged corpus.
 
     ``sequences`` is a list of (T_i, d) arrays. Each epoch: shuffle the
@@ -74,6 +74,14 @@ def ragged_epoch_batches(sequences, batch_size, seed=0, epoch=0,
     maximal padding (pad_multiple=max_T -- the pad-everything strategy).
     With ``drop_remainder=False`` a non-divisible corpus adds one more
     program for the smaller tail batch (see make_loader on when to drop).
+
+    ``group_by_shape=True`` orders the epoch so batches sharing a padded T
+    are CONSECUTIVE (group order shuffled, composition within a group
+    already shuffled): grouped-dispatch training loops
+    (``train.loop.run_loader(steps_per_dispatch=k)``) can then scan long
+    same-shape runs instead of flushing on every shape change. The
+    multiset of batches is identical to ``group_by_shape=False`` at the
+    same (seed, epoch) -- only the emission order differs.
     """
     from svae_tpu.data.masking import pad_batch
 
@@ -86,6 +94,15 @@ def ragged_epoch_batches(sequences, batch_size, seed=0, epoch=0,
     for lo in range(0, max(stop, 0), batch_size):
         spans.append(order[lo:lo + batch_size])
     rng.shuffle(spans)
+    if group_by_shape:
+        groups = collections.OrderedDict()  # padded T -> spans, epoch order
+        for idx in spans:
+            Tp = _round_up(max(int(sequences[i].shape[0]) for i in idx),
+                           pad_multiple)
+            groups.setdefault(Tp, []).append(idx)
+        keys = list(groups)
+        rng.shuffle(keys)
+        spans = [s for Tp in keys for s in groups[Tp]]
     for idx in spans:
         group = [sequences[i] for i in idx]
         Tmax = max(int(s.shape[0]) for s in group)
@@ -124,7 +141,7 @@ def prefetch_to_device(iterator, size=2, sharding=None):
 
 def make_loader(data_or_sequences, batch_size, seed=0, *, ragged=None,
                 pad_multiple=8, drop_remainder=None, prefetch=2,
-                sharding=None):
+                sharding=None, group_by_shape=False):
     """Epoch-loader factory: ``loader(epoch) -> iterator of device batches``.
 
     Dense corpus (array / pytree): yields shuffled (batch,) minibatches.
@@ -138,6 +155,10 @@ def make_loader(data_or_sequences, batch_size, seed=0, *, ragged=None,
     program). For the shard_map DP step (``make_dp_train_step``, which is
     built for a FIXED global batch) pass ``drop_remainder=True`` so every
     batch divides the data axis and carries the assumed size.
+
+    ``group_by_shape=True`` (ragged only) emits each length bucket's
+    batches consecutively so ``run_loader(steps_per_dispatch=k)`` groups
+    fill -- see ragged_epoch_batches.
     """
     if ragged is None:
         ragged = isinstance(data_or_sequences, (list, tuple))
@@ -148,7 +169,8 @@ def make_loader(data_or_sequences, batch_size, seed=0, *, ragged=None,
         if ragged:
             it = ragged_epoch_batches(
                 data_or_sequences, batch_size, seed, epoch,
-                pad_multiple=pad_multiple, drop_remainder=drop_remainder)
+                pad_multiple=pad_multiple, drop_remainder=drop_remainder,
+                group_by_shape=group_by_shape)
         else:
             it = epoch_batches(data_or_sequences, batch_size, seed, epoch,
                                drop_remainder=drop_remainder)

@@ -385,7 +385,10 @@ def run_inference(prior_natparam, global_natparam, nn_potentials, key,
     if backend == "pallas":
         if not batched:
             J_diag, h = J_diag[None], h[None]
-        if lengths is None:
+        # route on the same flag that skipped the pair broadcast above:
+        # the two conditions must never diverge (`pairs` only exists when
+        # stationary_fast is False)
+        if stationary_fast:
             # time-homogeneous chain: the fully packed
             # stationary-diagonal pipeline takes the single pair
             # matrices directly -- no broadcast streams, no
@@ -444,7 +447,17 @@ def posterior_moments(global_natparam, nn_potentials, parallel=False,
     inputs through the packed stationary pipeline
     (svae_tpu/ops/pallas_estep.lds_moments_stationary -- the production
     fast path); "xla" the vmapped scan smoother; "auto" picks "pallas" on
-    TPU for the shapes it serves and "xla" otherwise."""
+    TPU for the shapes it serves and "xla" otherwise. An EXPLICIT
+    ``backend="pallas"`` with ``lengths=`` raises (the packed moments
+    pipeline is stationary-only; use "auto"/"xla" for ragged batches),
+    and ``parallel=`` selects the associative-scan smoother on the XLA
+    path only -- the Pallas pipeline has its own schedule and ignores it.
+    """
+    if backend == "pallas" and lengths is not None:
+        raise ValueError(
+            "posterior_moments(backend='pallas') does not serve ragged "
+            "(lengths=) batches -- the packed pipeline is stationary-only. "
+            "Use backend='auto' or 'xla' for ragged batches.")
     J_diag, h = nn_potentials
     batched = J_diag.ndim == 3
     T = J_diag.shape[-2]

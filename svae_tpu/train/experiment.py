@@ -14,16 +14,19 @@ from svae_tpu.train import loop as loop_lib
 from svae_tpu.train.metrics import MetricsWriter
 
 
-def _restore_with_counters(path, head_state, n_counters):
+def _restore_with_counters(path, head_state, n_counters, cast=False):
     """Restore ``head_state + (counter,) * n_counters`` trying int64 then
     int32 counter templates: the v2 dtype check is strict, and checkpoints
     written before the int64 pinning stored step counters in whichever
-    width the writer's x64 mode produced."""
+    width the writer's x64 mode produced. ``cast`` (TrainConfig
+    .checkpoint_cast) forwards to checkpoint.restore's opt-in lossy dtype
+    coercion, so precision-migrated checkpoints stay recoverable through
+    the experiment entry points."""
     for ctype in (np.int64, np.int32):
         state = head_state + tuple(
             np.zeros((), ctype) for _ in range(n_counters))
         try:
-            return ckpt_lib.restore(path, state)
+            return ckpt_lib.restore(path, state, cast=cast)
         except ValueError as e:
             if "dtype mismatch" not in str(e) or ctype is np.int32:
                 raise
@@ -68,7 +71,10 @@ def run(train_cfg, train_step, pgm_params, net_params, opt_state, data,
             pgm_params, net_params, opt_state, key, step_arr = (
                 _restore_with_counters(latest,
                                        (pgm_params, net_params, opt_state,
-                                        key), 1))
+                                        key), 1,
+                                       cast=getattr(train_cfg,
+                                                    "checkpoint_cast",
+                                                    False)))
             key = jnp.asarray(key)
             start_step = int(step_arr)
 
@@ -156,7 +162,11 @@ def run_with_loader(train_cfg, train_step, pgm_params, net_params,
     ``data/loader.make_loader``; pair with ``make_train_step(ragged=True)``
     for ``(frames, lengths)`` batches).
 
-    Same JSONL metrics cadence as :func:`run`. Checkpoints are
+    Same JSONL metrics cadence as :func:`run`, and the same
+    ``TrainConfig.steps_per_dispatch`` grouping: consecutive same-shape
+    (same length-bucket) batches ride one jitted scan dispatch -- pair
+    with ``make_loader(group_by_shape=True)`` so buckets emit
+    consecutively and groups fill. Checkpoints are
     EPOCH-granular (the per-epoch step count varies with bucketing):
     state = (pgm, net, opt, key, epochs_done, steps_done) written at every
     epoch end; resume skips completed epochs, continues the advanced key's
@@ -177,7 +187,10 @@ def run_with_loader(train_cfg, train_step, pgm_params, net_params,
             pgm_params, net_params, opt_state, key, ep_arr, st_arr = (
                 _restore_with_counters(latest,
                                        (pgm_params, net_params, opt_state,
-                                        key), 2))
+                                        key), 2,
+                                       cast=getattr(train_cfg,
+                                                    "checkpoint_cast",
+                                                    False)))
             key = jnp.asarray(key)
             epochs_done = min(int(ep_arr), train_cfg.num_epochs)
             steps_done = int(st_arr)
@@ -186,6 +199,7 @@ def run_with_loader(train_cfg, train_step, pgm_params, net_params,
     t_last = [time.perf_counter()]
     every = max(int(train_cfg.metrics_every), 1)
     step_base = [steps_done]
+    last_fired = [steps_done - 1]  # last global step a callback covered
 
     def callback(step, elbo, params, terms=None, loop_key=None):
         now = time.perf_counter()
@@ -193,13 +207,20 @@ def run_with_loader(train_cfg, train_step, pgm_params, net_params,
         t_last[0] = now
         extra = ({k: float(v) for k, v in terms.items()}
                  if terms is not None else {})
-        per_step = dt / every
-        writer.write(step_base[0] + step, elbo=elbo,
+        global_step = step_base[0] + step
+        # true steps since the previous firing (same fix as run()'s
+        # callback): with grouped dispatch the cadence rounds to group
+        # boundaries, so dividing by metrics_every would overstate the
+        # step time by the group factor
+        n_steps = max(global_step - last_fired[0], 1)
+        last_fired[0] = global_step
+        per_step = dt / n_steps
+        writer.write(global_step, elbo=elbo,
                      step_time_s=round(per_step, 5),
                      steps_per_sec=round(1.0 / max(per_step, 1e-9), 3),
                      **extra)
         if extra_callback is not None:
-            extra_callback(step_base[0] + step, elbo, params, terms)
+            extra_callback(global_step, elbo, params, terms)
 
     history = []
     if train_cfg.profile_dir:
@@ -210,7 +231,9 @@ def run_with_loader(train_cfg, train_step, pgm_params, net_params,
                 loop_lib.run_loader(
                     train_step, pgm_params, net_params, opt_state,
                     lambda _e, ep=epoch: get_batches(ep), key,
-                    num_epochs=1, callback=callback, callback_every=every))
+                    num_epochs=1, callback=callback, callback_every=every,
+                    steps_per_dispatch=getattr(train_cfg,
+                                               "steps_per_dispatch", 1)))
             history.extend(h)
             step_base[0] += len(h)
             if train_cfg.checkpoint_dir:

@@ -4,6 +4,8 @@ reference: svae/optimizers.py callback param; SURVEY.md section 5).
 """
 
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -109,7 +111,12 @@ def _fused_group_for(train_step, k_grp):
     if hit is not None and hit[0] is train_step:  # id() can be recycled
         return hit[1]
 
-    @jax.jit
+    # donate params/opt-state/key like the per-step path does: run()/
+    # run_loader() always rebind the returned state, and without donation
+    # each grouped dispatch holds a second copy of params + optimizer
+    # state in HBM (the inner train_step's own donation is a no-op inside
+    # the scan trace)
+    @partial(jax.jit, donate_argnums=(0, 1, 2, 4))
     def fused_group(pgm, net, st, batches, key):
         def body(c, b):
             pgm, net, st, key = c
@@ -207,8 +214,18 @@ def run(train_step, pgm_params, net_params, opt_state, data, key, num_epochs,
     return pgm_params, net_params, opt_state, history, key
 
 
+def _batch_signature(batch):
+    """Compile-relevant identity of a loader batch: tree structure plus
+    per-leaf (shape, dtype). Batches sharing a signature hit the same XLA
+    program and can ride one grouped-scan dispatch."""
+    leaves, treedef = jax.tree.flatten(batch)
+    return treedef, tuple(
+        (tuple(x.shape), jnp.result_type(x).name) for x in leaves)
+
+
 def run_loader(train_step, pgm_params, net_params, opt_state, get_batches,
-               key, num_epochs, callback=None, callback_every=1):
+               key, num_epochs, callback=None, callback_every=1,
+               steps_per_dispatch=1):
     """Epoch loop driven by a loader factory (``data/loader.make_loader``):
     each epoch iterates ``get_batches(epoch)`` -- already shuffled,
     length-bucketed, and device-prefetched by the loader -- so ragged
@@ -216,23 +233,75 @@ def run_loader(train_step, pgm_params, net_params, opt_state, get_batches,
     contract as :func:`run`. Batches may be ``(frames, lengths)`` pairs
     (pair with ``make_train_step(ragged=True)``).
 
+    ``steps_per_dispatch > 1`` extends :func:`run`'s device-resident loop
+    shape to the loader path: CONSECUTIVE same-shape batches (one length
+    bucket's padded shape = one XLA program) are stacked and scanned inside
+    one jitted dispatch, so the per-step dispatch tax -- measured 3-4x on
+    this setup (benchmarks/loop_throughput.py) -- is paid once per group.
+    The PRNG split pattern is identical to the per-step loop, and batches
+    are consumed strictly in loader order, so trajectories are bit-for-bit
+    those of ``steps_per_dispatch=1`` (tested). A shape change or epoch end
+    flushes the partial group as per-step dispatches; pass
+    ``group_by_shape=True`` to ``make_loader`` so ragged epochs emit each
+    bucket's batches consecutively and groups fill.
+
     Unlike :func:`run`, the total step count is not known up front (bucket
-    sizes vary per epoch), so the callback fires on the cadence only; the
-    caller flushes final state itself. Returns
+    sizes vary per epoch), so the callback fires on the cadence only
+    (rounded to group boundaries, as in :func:`run`); the caller flushes
+    final state itself. Returns
     (pgm_params, net_params, opt_state, elbo_history, key).
     """
+    k_grp = max(int(steps_per_dispatch), 1)
+    fused_group = _fused_group_for(train_step, k_grp) if k_grp > 1 else None
     history = []
     step_idx = 0
+    state = [pgm_params, net_params, opt_state, key]
+    pending = []          # buffered same-signature batches, loader order
+    pending_sig = [None]
+
+    def fire(elbo, terms, advanced):
+        nonlocal step_idx
+        step_idx += advanced
+        # cadence multiple fell within the steps just executed (advanced
+        # == 1 reduces to the classic step_idx % every == 0 condition)
+        if callback is not None and step_idx % callback_every < advanced:
+            callback(step_idx - 1, float(elbo),
+                     (state[0], state[1], state[2]), terms, state[3])
+
+    def step_one(batch):
+        pgm, net, st, k = state
+        k, kstep = jax.random.split(k)
+        pgm, net, st, elbo, terms = train_step(pgm, net, st, batch, kstep)
+        state[:] = [pgm, net, st, k]
+        history.append(elbo)  # device scalar -- no host sync
+        fire(elbo, terms, 1)
+
+    def flush():
+        for b in pending:
+            step_one(b)
+        pending.clear()
+
+    def step_group():
+        pgm, net, st, k = state
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *pending)
+        pending.clear()
+        pgm, net, st, k, elbos, terms = fused_group(pgm, net, st, stacked, k)
+        state[:] = [pgm, net, st, k]
+        history.extend(list(elbos))
+        fire(elbos[-1], terms, k_grp)
+
     for epoch in range(num_epochs):
         for batch in get_batches(epoch):
-            key, kstep = jax.random.split(key)
-            pgm_params, net_params, opt_state, elbo, terms = train_step(
-                pgm_params, net_params, opt_state, batch, kstep
-            )
-            history.append(elbo)  # device scalar -- no host sync
-            step_idx += 1
-            if callback is not None and step_idx % callback_every == 0:
-                callback(step_idx - 1, float(elbo),
-                         (pgm_params, net_params, opt_state), terms, key)
+            if fused_group is None:
+                step_one(batch)
+                continue
+            sig = _batch_signature(batch)
+            if pending and sig != pending_sig[0]:
+                flush()
+            pending.append(batch)
+            pending_sig[0] = sig
+            if len(pending) == k_grp:
+                step_group()
+        flush()  # trailing partial group: per-step dispatches
     history = [float(v) for v in jax.device_get(history)]
-    return pgm_params, net_params, opt_state, history, key
+    return state[0], state[1], state[2], history, state[3]

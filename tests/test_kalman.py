@@ -178,3 +178,20 @@ class TestInference:
         assert Ex.shape == (7, 2) and ExxT.shape == (7, 2, 2)
         assert Exnxt.shape == (6, 2, 2)
         assert jnp.isfinite(logZ)
+
+
+def test_smoother_miscompile_barrier_present():
+    """The XLA:TPU miscompile workaround in _smoother_core (jax 0.9.0 on
+    v5e: reverse-scan-concat fusion into assemble_moments corrupts the
+    t=T-2 suffix row under vmap) must stay in the lowered program until
+    the pinned jax version is bumped AND benchmarks/onchip_parity.py's
+    ragged section re-verifies on chip. This CPU-side guard catches an
+    accidental removal without needing the chip."""
+    init, pairs, nodes = to_jnp(make_lds_potentials(T=6, d=2, seed=11))
+    for parallel in (False, True):
+        jaxpr = jax.make_jaxpr(
+            lambda p, n: kalman.lds_smoother(init, p, n, parallel=parallel)
+        )(pairs, nodes)
+        assert "optimization_barrier" in str(jaxpr), (
+            "ops/kalman.py _smoother_core lost its miscompile barrier "
+            f"(parallel={parallel})")

@@ -304,3 +304,16 @@ def test_window_filter_matches_single_frame_steps():
     s1, o1 = init_fn((Jb[1, 0], hb[1, 0]))
     np.testing.assert_allclose(np.asarray(vout[0][1, 0]),
                                np.asarray(o1[0]), rtol=1e-12)
+
+
+def test_posterior_moments_explicit_pallas_ragged_raises():
+    """An EXPLICIT backend='pallas' request with lengths= must raise, not
+    silently degrade to the XLA path (round-4 advisor finding)."""
+    glob, (J, h) = _setup(d=2, T=8, B=2)
+    lengths = jnp.asarray([8, 5])
+    with pytest.raises(ValueError, match="ragged"):
+        lds.posterior_moments(glob, (J, h), lengths=lengths,
+                              backend="pallas")
+    # auto still serves ragged batches through the XLA path
+    Ex, _, _, logZ = lds.posterior_moments(glob, (J, h), lengths=lengths)
+    assert Ex.shape == (2, 8, 2) and logZ.shape == (2,)

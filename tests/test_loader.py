@@ -113,3 +113,31 @@ def test_make_loader_ragged_end_to_end_inference():
             float((np.asarray(lengths) - 1).sum()))
         n_seen += len(lengths)
     assert n_seen == 9
+
+
+def test_ragged_group_by_shape_orders_buckets_consecutively():
+    """group_by_shape=True emits each padded-T bucket's batches
+    consecutively (grouped-dispatch loops then scan long same-shape runs)
+    and is a pure REORDERING: the multiset of (batch, lengths) pairs is
+    identical to group_by_shape=False at the same (seed, epoch)."""
+    rng = np.random.RandomState(3)
+    seqs = [rng.randn(rng.randint(3, 20), 2) for _ in range(30)]
+
+    def collect(**kw):
+        return list(loader.ragged_epoch_batches(seqs, 4, seed=9, epoch=2,
+                                                pad_multiple=8, **kw))
+
+    plain = collect()
+    grouped = collect(group_by_shape=True)
+    assert len(plain) == len(grouped) == 8  # 7 full + 1 tail batch
+
+    # consecutive-run property: each padded T appears in ONE run
+    tpads = [b.shape[1] for b, _ in grouped]
+    runs = [t for i, t in enumerate(tpads) if i == 0 or t != tpads[i - 1]]
+    assert len(runs) == len(set(tpads))
+
+    def key_of(item):
+        b, l = item
+        return (b.shape, b.tobytes(), np.asarray(l).tobytes())
+
+    assert sorted(map(key_of, plain)) == sorted(map(key_of, grouped))
