@@ -90,11 +90,15 @@ def main():
     recognize = recognition.make_conv_recognize(HW)
 
     # fixed intermediate products for the isolated stages
+    print("setup: recognizing...", flush=True)
     pots0 = recognize(recog_params, batches[0])
     pots_stack = jax.vmap(lambda b: recognize(recog_params, b))(batches)
+    print("setup: E-step sample...", flush=True)
     samples0 = lds.run_inference(pgm_prior, pgm_params, pots0,
                                  jax.random.PRNGKey(9), num_samples=S,
                                  backend=backend)[0]
+    jax.block_until_ready(samples0)
+    print("setup done", flush=True)
     skey = jax.random.PRNGKey(7)
 
     report = {"device": str(jax.devices()[0]),

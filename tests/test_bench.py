@@ -63,7 +63,8 @@ def test_main_emits_schema(monkeypatch, capsys):
     monkeypatch.setattr(bench, "measure_tpu_steps",
                         lambda backend: (45.0, 0.1))
     monkeypatch.setattr(bench, "measure_cpu_oracle", lambda: 10.0)
-    monkeypatch.setattr(bench, "measure_slds", lambda: (30.0, 2.0, 0.02))
+    monkeypatch.setattr(bench, "measure_slds",
+                        lambda: (30.0, 8.0, 2.0, 0.02))
     monkeypatch.setattr(bench, "measure_hmm", lambda: (500.0, 400.0, 100.0))
     monkeypatch.setattr(bench, "measure_gmm",
                         lambda: (600.0, 40.0, 80.0, 10))

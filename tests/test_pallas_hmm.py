@@ -31,21 +31,24 @@ def _xla_posterior(log_init, log_trans, log_obs):
         log_obs)
 
 
+@pytest.mark.parametrize("kernel", ["streamed", "stationary"])
 @pytest.mark.parametrize("T,unroll", [(8, 1), (9, 2), (50, 4)])
-def test_posterior_parity(T, unroll):
+def test_posterior_parity(T, unroll, kernel):
     B, K = 3, 4
     li, lt, lo = _problem(jax.random.PRNGKey(0), B, T, K)
     ref = _xla_posterior(li, lt, lo)
     out = pallas_hmm.hmm_posterior(li, lt, lo, block_b=BLOCK,
-                                   interpret=True, unroll=unroll)
+                                   interpret=True, unroll=unroll,
+                                   kernel=kernel)
     names = ["logZ", "node", "pair_sum", "init_marginal"]
     for n, a, b in zip(names, ref, out):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-9, atol=1e-11, err_msg=n)
 
 
+@pytest.mark.parametrize("kernel", ["streamed", "stationary"])
 @pytest.mark.parametrize("T,unroll", [(7, 1), (10, 4)])
-def test_grad_parity(T, unroll):
+def test_grad_parity(T, unroll, kernel):
     """Gradient of a mixed loss over all four outputs, w.r.t. all three
     inputs -- exercises the fused adjoint kernel end to end."""
     B, K = 2, 3
@@ -61,7 +64,8 @@ def test_grad_parity(T, unroll):
     g_ref = jax.grad(loss(_xla_posterior), argnums=(0, 1, 2))(li, lt, lo)
     g_pl = jax.grad(
         loss(lambda a, b, c: pallas_hmm.hmm_posterior(
-            a, b, c, block_b=BLOCK, interpret=True, unroll=unroll)),
+            a, b, c, block_b=BLOCK, interpret=True, unroll=unroll,
+            kernel=kernel)),
         argnums=(0, 1, 2))(li, lt, lo)
     for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_pl)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
