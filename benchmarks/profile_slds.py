@@ -23,15 +23,65 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import time
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from profile_conv_lds import _time_scan  # noqa: E402  (benchmarks/ dir)
-
 T, K, D = 50, 4, 3
 K_FUSED = 8
 NUM_ITERS = 10
+
+
+def _slope_time_scan(fn, xs_stack, k_lo=8, k_hi=40, iters=6, passes=3):
+    """Per-call device time of ``fn`` via the slope method: jit a scan of
+    k inner calls (cycling through the stacked distinct inputs, carry
+    perturbing them so nothing repeats or hoists), time chained dispatches
+    at two k values, slope out the 1.5-10 ms drifting per-dispatch tunnel
+    overhead that plain stage timing reads as signal at these sub-ms
+    shapes."""
+    n = jax.tree.leaves(xs_stack)[0].shape[0]
+
+    def make(k):
+        @jax.jit
+        def run(xs, seed):
+            def body(carry, i):
+                acc = carry
+                x = jax.tree.map(
+                    lambda v: jax.lax.dynamic_index_in_dim(
+                        v, i % n, keepdims=False)
+                    + acc * jnp.asarray(1e-30, v.dtype)
+                    if jnp.issubdtype(v.dtype, jnp.floating)
+                    else jax.lax.dynamic_index_in_dim(v, i % n,
+                                                      keepdims=False),
+                    xs)
+                return acc + fn(x), None
+            acc, _ = jax.lax.scan(body, seed, jnp.arange(k))
+            return acc * jnp.asarray(1e-12, seed.dtype)
+        return run
+
+    runs = {k: make(k) for k in (k_lo, k_hi)}
+    seed = jnp.zeros((), jnp.float32)
+    for k in (k_lo, k_hi):
+        seed = runs[k](xs_stack, seed)
+    jax.block_until_ready(seed)
+    for k in (k_lo, k_hi):  # chained warmup
+        seed = runs[k](xs_stack, seed)
+    jax.block_until_ready(seed)
+    t_at = {k_lo: [], k_hi: []}
+    for _ in range(passes):
+        for k in (k_lo, k_hi):
+            t0 = time.perf_counter()
+            s = seed
+            for _ in range(iters):
+                s = runs[k](xs_stack, s)
+            jax.block_until_ready(s)
+            t_at[k].append((time.perf_counter() - t0) / iters)
+    assert np.isfinite(float(s))
+    slopes = [(hi - lo) / (k_hi - k_lo)
+              for lo, hi in zip(t_at[k_lo], t_at[k_hi])]
+    return max(slopes), (min(slopes), max(slopes))
 
 
 def run(B):
@@ -58,7 +108,7 @@ def run(B):
     out = {}
 
     def stage(name, fn, xs):
-        dt, (lo, hi) = _time_scan(fn, xs)
+        dt, (lo, hi) = _slope_time_scan(fn, xs)
         out[name] = round(dt * 1e3, 4)
         out[name + "_spread"] = [round(lo * 1e3, 4), round(hi * 1e3, 4)]
         print(f"B={B} {name:10s} {dt * 1e3:8.4f} ms  "
