@@ -244,8 +244,8 @@ def measure_tpu_estep(backend, B=64, T=100, d_latent=10, num_samples=2,
     return k_fused * B / dt
 
 
-def measure_slds(B=16, T=50, K=4, d_latent=3, num_iters=10, iters=6,
-                 k_fused=32, fold=4):
+def measure_slds(B=16, T=50, K=4, d_latent=3, num_iters=10, iters=4,
+                 k_fused=64, fold=4):
     """SLDS structured-mean-field E-step (backend='pallas') seqs/sec on
     chip, and the CPU twin: per sequence, num_iters alternating sweeps of
     (native C++ LDS smoother + native HMM forward-backward) -- the
@@ -714,7 +714,7 @@ def main():
         # dispatch (lax.scan; see measure_tpu_estep docstring) -- the
         # device-resident pipeline shape; per-dispatch tunnel overhead
         # had grown to dominate single-dispatch measurements.
-        "batches_per_dispatch": {"train": 16, "estep": 32, "slds": 32,
+        "batches_per_dispatch": {"train": 16, "estep": 32, "slds": 64,
                                  "hmm": 64, "conv_lds": 4},
     }
     try:
@@ -789,8 +789,8 @@ def main():
     result["train_step_spread"] = _spread_seqs(f"train_{backend}_b64",
                                                16 * 64)
     if result.get("slds_estep_seqs_per_sec"):
-        result["slds_spread"] = _spread_seqs("slds_folded", 32 * 16)
-        result["slds_unfolded_spread"] = _spread_seqs("slds", 32 * 16)
+        result["slds_spread"] = _spread_seqs("slds_folded", 64 * 16)
+        result["slds_unfolded_spread"] = _spread_seqs("slds", 64 * 16)
     if result.get("estep_b256_seqs_per_sec"):
         result["estep_b256_spread"] = _spread_seqs(
             f"estep_{backend}_b256", 32 * 256)
