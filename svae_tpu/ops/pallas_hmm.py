@@ -570,6 +570,9 @@ def hmm_posterior(log_init, log_trans, log_obs, block_b=128,
     log_trans = log_trans.astype(dt)
     a0 = log_init[None] + log_obs[:, 0]  # (B, K)
     stationary = log_trans.ndim == 2
+    if kernel not in ("auto", "streamed", "stationary"):
+        raise ValueError(f"kernel must be auto|streamed|stationary, "
+                         f"got {kernel!r}")
     if kernel == "auto":
         kernel = "streamed"
     pad = (-B) % block_b
