@@ -80,9 +80,12 @@ def main(argv=None):
         donate=False, ragged=True)
     opt_state = opt_init(pgm_params, net_params)
 
+    # group_by_shape: each bucket's batches emit consecutively so
+    # TrainConfig.steps_per_dispatch > 1 groups same-shape batches into
+    # one scanned dispatch (train/loop.run_loader; bit-exact vs per-step)
     base_loader = loader.make_loader(
         seqs, tc.batch_size, seed=tc.seed, pad_multiple=cfg.pad_multiple,
-        prefetch=2)
+        prefetch=2, group_by_shape=tc.steps_per_dispatch > 1)
     shapes = set()
 
     def get_batches(epoch):

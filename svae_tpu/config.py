@@ -164,7 +164,10 @@ PRESETS = {
     "lds_ragged": RaggedLDSConfig(),
     "lds_ragged_smoke": RaggedLDSConfig(
         T=24, T_min=6, d_latent=4, num_seqs=24, pad_multiple=8,
-        train=TrainConfig(num_epochs=2, batch_size=8)),
+        # steps_per_dispatch=2 exercises the grouped loader path
+        # (group_by_shape loader + run_loader scan groups) end to end
+        train=TrainConfig(num_epochs=2, batch_size=8,
+                          steps_per_dispatch=2)),
     "slds_synth_smoke": SLDSConfig(
         K=3, T=20, d_latent=3, num_seqs=16,
         train=TrainConfig(num_epochs=1, batch_size=4)),
