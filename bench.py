@@ -329,10 +329,12 @@ def measure_slds(B=16, T=50, K=4, d_latent=3, num_iters=10, iters=4,
     if folded_seqs > fold * tpu_seqs * 1.05:
         # physically impossible: folding can at MOST multiply the
         # per-seq rate by the fill factor -- remeasure once, then trust
-        # the slower reading
-        dt_f = timed(Jf, hf, rows, "slds_folded")
-        folded_seqs = min(folded_seqs, fold * B / dt_f)
-        folded_seqs = min(folded_seqs, fold * tpu_seqs)
+        # the slower reading (and keep dt_f consistent with the clamped
+        # headline so slds_step_ms describes the same measurement)
+        dt_retry = timed(Jf, hf, rows, "slds_folded")
+        folded_seqs = min(folded_seqs, fold * B / dt_retry,
+                          fold * tpu_seqs)
+        dt_f = fold * B / folded_seqs
 
     # CPU twin: one sequence, num_iters sweeps of smoother + HMM fwd-bwd
     rng = np.random.RandomState(0)

@@ -96,13 +96,19 @@ def ragged_epoch_batches(sequences, batch_size, seed=0, epoch=0,
     rng.shuffle(spans)
     if group_by_shape:
         groups = collections.OrderedDict()  # padded T -> spans, epoch order
-        for idx in spans:
+        tail = None  # the one smaller remainder batch: its batch-dim
+        for idx in spans:  # signature differs, so emit it LAST -- mid-
+            if len(idx) < batch_size:  # bucket it would split a same-
+                tail = idx             # shape run into two flushes
+                continue
             Tp = _round_up(max(int(sequences[i].shape[0]) for i in idx),
                            pad_multiple)
             groups.setdefault(Tp, []).append(idx)
         keys = list(groups)
         rng.shuffle(keys)
         spans = [s for Tp in keys for s in groups[Tp]]
+        if tail is not None:
+            spans.append(tail)
     for idx in spans:
         group = [sequences[i] for i in idx]
         Tmax = max(int(s.shape[0]) for s in group)

@@ -573,6 +573,13 @@ def hmm_posterior(log_init, log_trans, log_obs, block_b=128,
     if kernel not in ("auto", "streamed", "stationary"):
         raise ValueError(f"kernel must be auto|streamed|stationary, "
                          f"got {kernel!r}")
+    if kernel == "stationary" and not stationary:
+        # an EXPLICIT fast-path request must not silently degrade
+        # (same convention as models.lds.posterior_moments' ragged guard)
+        raise ValueError(
+            "hmm_posterior(kernel='stationary') requires a stationary "
+            "(K, K) log_trans; got time-varying transitions -- use "
+            "kernel='auto'/'streamed'")
     if kernel == "auto":
         kernel = "streamed"
     pad = (-B) % block_b
@@ -623,31 +630,27 @@ def hmm_posterior(log_init, log_trans, log_obs, block_b=128,
 
     logZ = logsumexp(alpha[:, -1], axis=-1)
     node = jnp.exp(alpha + beta - logZ[:, None, None])
-    # pair_t(i,j) = exp(alpha_t(i) + M_t(i,j) + beta_{t+1}(j) - logZ)
-    if stationary:
-        # the stationary M factorizes the pair sum into a (K, T)x(T, K)
-        # matmul of scaled messages -- no (B, T-1, K, K) materialization:
-        #   pair_sum(i,j) = exp(LT_ij) * sum_t U_t(i) V_t(j)
-        # with the per-t shift m_t keeping both factors in range
-        lb = log_obs[:, 1:] + beta[:, 1:]               # (B, T-1, K)
-        m_t = jnp.max(lb, axis=-1, keepdims=True)
-        V = jnp.exp(lb - m_t)
-        Uq = jnp.exp(alpha[:, :-1] + m_t - logZ[:, None, None])
-        if pair_weights is not None:
-            Uq = Uq * jnp.asarray(pair_weights, dt)[..., None]
-        # precision pinned: the MXU's default bf16 operand truncation
-        # costs ~1e-3 relative on the summed counts (observed on chip)
-        pair_sum = jnp.exp(log_trans)[None] * jnp.einsum(
-            "bti,btj->bij", Uq, V, precision=jax.lax.Precision.HIGHEST)
+    # pair_t(i,j) = exp(alpha_t(i) + M_t(i,j) + beta_{t+1}(j) - logZ):
+    # every exponent is <= ~log T (pair_t is a posterior transition
+    # probability), so the materialized form is overflow-proof for ANY
+    # transition matrix. A factorized matmul form (pair_sum = exp(LT) o
+    # U^T V with per-t shifts) was measured at parity speed-wise but
+    # REJECTED for correctness: when a strongly-disfavored transition
+    # (LT entry ~ -100, e.g. digamma expected-stats of a sparse
+    # Dirichlet) is forced by the observations, the true pair count is
+    # O(1) while exp(LT) underflows and the matmul factor overflows --
+    # 0 * inf = NaN in the production SLDS z-step (found in round-5
+    # review, reproduced at K=2).
+    if stationary and kernel == "stationary":
+        # the stationary prim never built M; the pair marginal needs it
+        M = log_trans[None, None] + log_obs[:, 1:, None, :]
+    pair = jnp.exp(
+        alpha[:, :-1, :, None] + M + beta[:, 1:, None, :]
+        - logZ[:, None, None, None]
+    )
+    if pair_weights is None:
+        pair_sum = jnp.sum(pair, axis=1)
     else:
-        pair = jnp.exp(
-            alpha[:, :-1, :, None] + M + beta[:, 1:, None, :]
-            - logZ[:, None, None, None]
-        )
-        if pair_weights is None:
-            pair_sum = jnp.sum(pair, axis=1)
-        else:
-            pair_sum = jnp.einsum(
-                "bt,btij->bij", jnp.asarray(pair_weights, pair.dtype),
-                pair)
+        pair_sum = jnp.einsum(
+            "bt,btij->bij", jnp.asarray(pair_weights, pair.dtype), pair)
     return logZ, node, pair_sum, node[:, 0]

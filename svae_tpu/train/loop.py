@@ -99,14 +99,14 @@ _FUSED_GROUP_CACHE_MAX = 8  # bounded: entries hold train-step closures
                             # and compiled executables alive
 
 
-def _fused_group_for(train_step, k_grp):
+def _fused_group_for(train_step, k_grp, donate=True):
     """Jitted k-step scan group for ``loop.run(steps_per_dispatch=k)``,
-    cached per (train_step, k) -- a fresh closure per run() call would
-    recompile every time (the scan body inlines the jitted step). The
-    cache is FIFO-bounded (jitted step fns do not reliably support weak
-    references) so long-lived processes cycling through many train steps
-    do not leak closures/executables."""
-    cache_key = (id(train_step), k_grp)
+    cached per (train_step, k, donate) -- a fresh closure per run() call
+    would recompile every time (the scan body inlines the jitted step).
+    The cache is FIFO-bounded (jitted step fns do not reliably support
+    weak references) so long-lived processes cycling through many train
+    steps do not leak closures/executables."""
+    cache_key = (id(train_step), k_grp, donate)
     hit = _FUSED_GROUP_CACHE.get(cache_key)
     if hit is not None and hit[0] is train_step:  # id() can be recycled
         return hit[1]
@@ -115,8 +115,11 @@ def _fused_group_for(train_step, k_grp):
     # run_loader() always rebind the returned state, and without donation
     # each grouped dispatch holds a second copy of params + optimizer
     # state in HBM (the inner train_step's own donation is a no-op inside
-    # the scan trace)
-    @partial(jax.jit, donate_argnums=(0, 1, 2, 4))
+    # the scan trace). Callers that keep references to the INITIAL
+    # params/state past the loop call pass donate=False (run/run_loader's
+    # ``donate_groups``) -- on TPU a donated buffer is dead after the
+    # first grouped dispatch.
+    @partial(jax.jit, donate_argnums=(0, 1, 2, 4) if donate else ())
     def fused_group(pgm, net, st, batches, key):
         def body(c, b):
             pgm, net, st, key = c
@@ -137,7 +140,7 @@ def _fused_group_for(train_step, k_grp):
 
 def run(train_step, pgm_params, net_params, opt_state, data, key, num_epochs,
         batch_size, callback=None, callback_every=1, shuffle=True,
-        steps_per_dispatch=1):
+        steps_per_dispatch=1, donate_groups=True):
     """Host-side epoch loop (reference: svae/optimizers.py:adam loop).
 
     ``data`` is a single array with leading datapoint/sequence axis; batches
@@ -163,7 +166,11 @@ def run(train_step, pgm_params, net_params, opt_state, data, key, num_epochs,
     so trajectories are bit-for-bit those of the per-step loop (tested);
     callbacks fire at group boundaries (their per-step cadence is rounded
     up to the group), and a trailing partial group falls back to per-step
-    dispatches.
+    dispatches. Grouped dispatches DONATE the incoming params/opt-state/
+    key buffers (no second HBM copy) -- on TPU the ``pgm_params``/
+    ``net_params``/``opt_state``/``key`` you pass in are consumed; pass
+    ``donate_groups=False`` if you keep references to them past this
+    call.
 
     Returns (pgm_params, net_params, opt_state, elbo_history, key).
     """
@@ -173,7 +180,8 @@ def run(train_step, pgm_params, net_params, opt_state, data, key, num_epochs,
     step_idx = 0
     total_steps = num_epochs * num_batches
     k_grp = max(int(steps_per_dispatch), 1)
-    fused_group = _fused_group_for(train_step, k_grp) if k_grp > 1 else None
+    fused_group = (_fused_group_for(train_step, k_grp, donate_groups)
+                   if k_grp > 1 else None)
 
     for epoch in range(num_epochs):
         key, kperm = jax.random.split(key)
@@ -225,7 +233,7 @@ def _batch_signature(batch):
 
 def run_loader(train_step, pgm_params, net_params, opt_state, get_batches,
                key, num_epochs, callback=None, callback_every=1,
-               steps_per_dispatch=1):
+               steps_per_dispatch=1, donate_groups=True):
     """Epoch loop driven by a loader factory (``data/loader.make_loader``):
     each epoch iterates ``get_batches(epoch)`` -- already shuffled,
     length-bucketed, and device-prefetched by the loader -- so ragged
@@ -243,7 +251,10 @@ def run_loader(train_step, pgm_params, net_params, opt_state, get_batches,
     those of ``steps_per_dispatch=1`` (tested). A shape change or epoch end
     flushes the partial group as per-step dispatches; pass
     ``group_by_shape=True`` to ``make_loader`` so ragged epochs emit each
-    bucket's batches consecutively and groups fill.
+    bucket's batches consecutively and groups fill. As in :func:`run`,
+    grouped dispatches donate the incoming state buffers -- pass
+    ``donate_groups=False`` to keep the caller's initial pytrees alive on
+    TPU.
 
     Unlike :func:`run`, the total step count is not known up front (bucket
     sizes vary per epoch), so the callback fires on the cadence only
@@ -252,7 +263,8 @@ def run_loader(train_step, pgm_params, net_params, opt_state, get_batches,
     (pgm_params, net_params, opt_state, elbo_history, key).
     """
     k_grp = max(int(steps_per_dispatch), 1)
-    fused_group = _fused_group_for(train_step, k_grp) if k_grp > 1 else None
+    fused_group = (_fused_group_for(train_step, k_grp, donate_groups)
+                   if k_grp > 1 else None)
     history = []
     step_idx = 0
     state = [pgm_params, net_params, opt_state, key]

@@ -131,8 +131,14 @@ def test_ragged_group_by_shape_orders_buckets_consecutively():
     grouped = collect(group_by_shape=True)
     assert len(plain) == len(grouped) == 8  # 7 full + 1 tail batch
 
-    # consecutive-run property: each padded T appears in ONE run
-    tpads = [b.shape[1] for b, _ in grouped]
+    # the smaller tail batch (distinct batch-dim signature) is emitted
+    # LAST so it cannot split a same-shape run mid-bucket
+    assert grouped[-1][0].shape[0] < 4
+    assert all(b.shape[0] == 4 for b, _ in grouped[:-1])
+
+    # consecutive-run property among the full batches: each padded T
+    # appears in ONE run
+    tpads = [b.shape[1] for b, _ in grouped[:-1]]
     runs = [t for i, t in enumerate(tpads) if i == 0 or t != tpads[i - 1]]
     assert len(runs) == len(set(tpads))
 

@@ -94,3 +94,44 @@ def test_sharp_messages_stable():
                                    interpret=True, unroll=1)
     np.testing.assert_allclose(np.asarray(out[1]), np.asarray(ref[1]),
                                rtol=2e-5, atol=2e-6)
+
+
+def test_sparse_transition_forced_switch_pair_sum_finite():
+    """Round-5 review regression: a strongly-disfavored transition
+    (log_trans entry ~ -100, e.g. digamma expected-stats of a sparse
+    Dirichlet) FORCED by the observations must produce a finite, correct
+    pair count. A factorized matmul pair assembly overflowed here
+    (0 * inf = NaN) and was reverted to the exponent-bounded
+    materialized form."""
+    K = 2
+    li = jnp.log(jnp.asarray([0.999, 0.001]))
+    lt = jnp.log(jnp.asarray([[0.999, 0.001], [0.001, 0.999]]))
+    lt = lt.at[0, 1].set(-100.0)  # near-forbidden switch
+    # observations force state 0 early, state 1 late -> the chain MUST
+    # take the forbidden 0->1 transition exactly once
+    lo = jnp.stack([jnp.asarray([50.0, -50.0])] * 3
+                   + [jnp.asarray([-50.0, 50.0])] * 3)[None]  # (1, 6, 2)
+    ref = _xla_posterior(li, lt, lo)
+    out = pallas_hmm.hmm_posterior(li, lt, lo, block_b=BLOCK,
+                                   interpret=True, unroll=1)
+    for n, a, b in zip(("logZ", "node", "pair_sum", "r1"), ref, out):
+        assert np.all(np.isfinite(np.asarray(b))), n
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-6, atol=1e-9, err_msg=n)
+    # the forced switch shows up as ~1 expected 0->1 transition
+    assert 0.9 < float(out[2][0, 0, 1]) < 1.1
+
+
+def test_explicit_stationary_kernel_with_time_varying_raises():
+    """An EXPLICIT kernel='stationary' request with 4-D transitions must
+    raise, not silently run the streamed kernel (mirrors the
+    posterior_moments ragged guard convention)."""
+    B, T, K = 2, 5, 3
+    li, lt, lo = _problem(jax.random.PRNGKey(3), B, T, K)
+    ltv = jnp.broadcast_to(lt[None, None], (B, T - 1, K, K))
+    with pytest.raises(ValueError, match="stationary"):
+        pallas_hmm.hmm_posterior(li, ltv, lo, block_b=BLOCK,
+                                 interpret=True, kernel="stationary")
+    with pytest.raises(ValueError, match="kernel"):
+        pallas_hmm.hmm_posterior(li, lt, lo, block_b=BLOCK,
+                                 interpret=True, kernel="bogus")
