@@ -433,3 +433,35 @@ def test_run_loader_steps_per_dispatch_matches_per_step():
     grouped_elbos = dict(fired[2])
     for i, e in grouped_elbos.items():
         np.testing.assert_allclose(e, hist1[i], rtol=1e-12)
+
+
+def test_loop_grouping_edges_oversized_group_and_no_donate():
+    """steps_per_dispatch larger than steps-per-epoch must degrade to
+    per-step dispatches (trailing-partial path) with identical
+    trajectories, and donate_groups=False must leave the caller's
+    initial pytrees usable (on CPU donation is a no-op, so this pins the
+    ARG plumbing, not the donation semantics)."""
+    pgm_prior, pgm_params, net_params, run_inf = _build()
+    data = jnp.asarray(make_pinwheel(num_per_class=8), jnp.float64)
+    N = data.shape[0]  # 40 -> 2 batches of 16 per epoch (tail dropped)
+    opt_init, step = loop_lib.make_train_step(
+        run_inf, recognition.mlp_recognize, decoders.mlp_loglike,
+        pgm_prior, N, num_samples=1, donate=False)
+
+    outs = {}
+    for k_grp in (1, 7):  # 7 > 2 steps/epoch: every group is partial
+        s0 = opt_init(pgm_params, net_params)
+        outs[k_grp] = loop_lib.run(
+            step, pgm_params, net_params, s0, data, jax.random.PRNGKey(5),
+            num_epochs=2, batch_size=16, shuffle=True,
+            steps_per_dispatch=k_grp, donate_groups=False)
+    p1, n1, _, hist1, key1 = outs[1]
+    p7, n7, _, hist7, key7 = outs[7]
+    assert len(hist1) == len(hist7) == 4
+    np.testing.assert_allclose(hist7, hist1, rtol=1e-12)
+    np.testing.assert_array_equal(np.asarray(key7), np.asarray(key1))
+    for a, b in zip(jax.tree.leaves((p1, n1)), jax.tree.leaves((p7, n7))):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-11, atol=1e-13)
+    # the initial params are still readable after both runs
+    assert np.isfinite(float(flat(pgm_params)[0]))
