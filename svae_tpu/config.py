@@ -29,6 +29,10 @@ class TrainConfig:
     # callbacks at group granularity; see train/loop.py). Checkpoint
     # cadence rounds to group boundaries accordingly.
     steps_per_dispatch: int = 1
+    # grouped dispatches donate the incoming param/opt-state buffers (no
+    # second HBM copy); set False if the caller reuses the same initial
+    # pytrees across runs on TPU (donated buffers are consumed)
+    donate_groups: bool = True
     metrics_path: Optional[str] = None
     checkpoint_dir: Optional[str] = None
     checkpoint_every: int = 500

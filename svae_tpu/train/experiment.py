@@ -138,6 +138,7 @@ def run(train_cfg, train_step, pgm_params, net_params, opt_state, data,
                 callback_every=every,
                 steps_per_dispatch=getattr(train_cfg,
                                            "steps_per_dispatch", 1),
+                donate_groups=getattr(train_cfg, "donate_groups", True),
             )
     finally:
         if train_cfg.profile_dir:
@@ -233,7 +234,9 @@ def run_with_loader(train_cfg, train_step, pgm_params, net_params,
                     lambda _e, ep=epoch: get_batches(ep), key,
                     num_epochs=1, callback=callback, callback_every=every,
                     steps_per_dispatch=getattr(train_cfg,
-                                               "steps_per_dispatch", 1)))
+                                               "steps_per_dispatch", 1),
+                    donate_groups=getattr(train_cfg, "donate_groups",
+                                          True)))
             history.extend(h)
             step_base[0] += len(h)
             if train_cfg.checkpoint_dir:
