@@ -179,7 +179,7 @@ def measure_cpu_oracle(T=100, d_latent=10, reps=8):
 
 
 def measure_tpu_estep(backend, B=64, T=100, d_latent=10, num_samples=2,
-                      iters=15, k_fused=32):
+                      iters=10, k_fused=64):
     """E-step only (smoother + sampler through the model contract), the
     apples-to-apples twin of measure_cpu_oracle.
 
@@ -192,9 +192,10 @@ def measure_tpu_estep(backend, B=64, T=100, d_latent=10, num_samples=2,
     per-dispatch protocol measures the tunnel, not the code. Stacked
     inputs make every scan iteration distinct work (nothing hoistable),
     and each iteration reduces its outputs into a carried checksum so
-    nothing is dead. r05: k_fused deepened 8 -> 32 (per-step overhead
-    share drops 4x; the 0.28 ms device E-step was carrying 0.2-0.6 ms of
-    OH/8 inside the r04 number) and the checksum chains back into the
+    nothing is dead. r05: k_fused deepened 8 -> 64 (per-step overhead
+    share drops 8x; the 0.28 ms device E-step was carrying 0.2-0.6 ms of
+    OH/8 inside the r04 number, and ~10 ms overhead windows were later
+    observed that made even 9 ms payloads 50% overhead) and the checksum chains back into the
     next dispatch's INPUTS so no dispatch ever repeats bit-identical
     (executable, inputs) -- the tunnel result-caches those (see
     measure_slds, where an uncached-pass-1-only protocol let a 30x
@@ -364,7 +365,7 @@ def measure_slds(B=16, T=50, K=4, d_latent=3, num_iters=10, iters=4,
     return folded_seqs, tpu_seqs, cpu_seqs, dt_f
 
 
-def measure_hmm(B=128, T=100, K=8, iters=10, k_fused=64):
+def measure_hmm(B=128, T=100, K=8, iters=8, k_fused=128):
     """HMM posterior (logZ + node/pair marginals) seqs/sec: the XLA
     batched custom-VJP log-matmul path (the measured-fastest standalone
     path at this shape and therefore the HEADLINE -- r05 decision, see
@@ -374,8 +375,10 @@ def measure_hmm(B=128, T=100, K=8, iters=10, k_fused=64):
 
     r04 stacked-scan protocol (see measure_tpu_estep): ``k_fused``
     DISTINCT observation batches per dispatch, results reduced into the
-    scan carry. r05: k_fused deepened 8 -> 64 (the ~0.23 ms per-batch
-    posterior was carrying 0.25-0.6 ms of per-dispatch overhead at k=8)
+    scan carry. r05: k_fused deepened 8 -> 128 (the ~0.23 ms per-batch
+    posterior was carrying 0.25-0.6 ms of per-dispatch overhead at k=8;
+    128 keeps the payload ~30 ms against the observed ~10 ms worst
+    overhead windows)
     and the checksum eps-chains into the next dispatch's inputs (cache
     guard)."""
     import jax
@@ -716,8 +719,8 @@ def main():
         # dispatch (lax.scan; see measure_tpu_estep docstring) -- the
         # device-resident pipeline shape; per-dispatch tunnel overhead
         # had grown to dominate single-dispatch measurements.
-        "batches_per_dispatch": {"train": 16, "estep": 32, "slds": 64,
-                                 "hmm": 64, "conv_lds": 4},
+        "batches_per_dispatch": {"train": 16, "estep": 64, "slds": 64,
+                                 "hmm": 128, "conv_lds": 4},
     }
     try:
         xla_train, _ = measure_tpu_steps("xla")
@@ -759,8 +762,9 @@ def main():
         result["hmm_posterior_path"] = "xla_logmatmul"
         result["hmm_posterior_pallas_seqs_per_sec"] = round(hmm_pl, 2)
         result["hmm_vs_cpu"] = round(hmm_xla / hmm_cpu, 2)
-        result["hmm_spread"] = _spread_seqs("hmm", 64 * 128)
-        result["hmm_pallas_spread"] = _spread_seqs("hmm_pallas", 64 * 128)
+        result["hmm_spread"] = _spread_seqs("hmm", 128 * 128)
+        result["hmm_pallas_spread"] = _spread_seqs("hmm_pallas",
+                                                   128 * 128)
     except Exception:
         result["hmm_posterior_seqs_per_sec"] = None
     try:
@@ -787,7 +791,7 @@ def main():
     # min/max of the three timing passes per headline row (run-to-run
     # variance; the headline keeps the slowest pass). _spread_seqs
     # returns None for rows whose measurement was skipped.
-    result["estep_spread"] = _spread_seqs(f"estep_{backend}_b64", 32 * 64)
+    result["estep_spread"] = _spread_seqs(f"estep_{backend}_b64", 64 * 64)
     result["train_step_spread"] = _spread_seqs(f"train_{backend}_b64",
                                                16 * 64)
     if result.get("slds_estep_seqs_per_sec"):
@@ -795,7 +799,7 @@ def main():
         result["slds_unfolded_spread"] = _spread_seqs("slds", 64 * 16)
     if result.get("estep_b256_seqs_per_sec"):
         result["estep_b256_spread"] = _spread_seqs(
-            f"estep_{backend}_b256", 32 * 256)
+            f"estep_{backend}_b256", 64 * 256)
     if result.get("train_step_b256_seqs_per_sec"):
         result["train_b256_spread"] = _spread_seqs(
             f"train_{backend}_b256", 16 * 256)
