@@ -443,8 +443,8 @@ def measure_hmm(B=128, T=100, K=8, iters=8, k_fused=128):
     return tpu_seqs_xla, tpu_seqs, cpu_seqs  # (headline XLA, pallas, cpu)
 
 
-def measure_gmm(N=1000, K=8, d_latent=2, num_iters=25, S=2, iters=6,
-                k_fused=160):
+def measure_gmm(N=1000, K=8, d_latent=2, num_iters=25, S=2, iters=4,
+                k_fused=320):
     """GMM-SVAE full-batch SVI step (BASELINE config 1 shapes: pinwheel
     N=1000, K=8, d=2, 25 mean-field sweeps, 2 MC samples) steps/sec on
     chip, plus the CPU mean-field E-step twin (vectorized f64 NumPy --
@@ -458,9 +458,10 @@ def measure_gmm(N=1000, K=8, d_latent=2, num_iters=25, S=2, iters=6,
     the headline steps/sec measures that loop. ``gmm_unfused`` in the
     returned dict is the one-dispatch-per-step rate for comparison
     (dispatch/tunnel-latency bound: the device step is sub-millisecond).
-    r05: k_fused deepened 40 -> 160 -- observed overhead windows of
-    ~10 ms/dispatch (3x the r04 window) put even 40-step dispatches at
-    ~65% overhead; at 160 the ~0.14 ms device step dominates again.
+    r05: k_fused deepened 40 -> 320 -- observed overhead windows of
+    10-22 ms/dispatch (up to ~6x the r04 window) put even 160-step
+    dispatches at ~50% overhead; at 320 the ~45 ms device payload
+    dominates any observed window.
     """
     from functools import partial
     import jax
@@ -720,7 +721,7 @@ def main():
         # device-resident pipeline shape; per-dispatch tunnel overhead
         # had grown to dominate single-dispatch measurements.
         "batches_per_dispatch": {"train": 16, "estep": 64, "slds": 64,
-                                 "hmm": 128, "conv_lds": 4},
+                                 "hmm": 128, "conv_lds": 4, "gmm": 320},
     }
     try:
         xla_train, _ = measure_tpu_steps("xla")
