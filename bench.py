@@ -74,7 +74,7 @@ def _spread_seqs(key, scale):
 
 
 def measure_tpu_steps(backend, B=64, T=100, d_obs=20, d_latent=10,
-                      num_samples=2, iters=12, k_fused=16):
+                      num_samples=2, iters=6, k_fused=48):
     """Full SVI train step seqs/sec on the given E-step backend.
 
     Protocol (r04): ``k_fused`` DISTINCT minibatches ride one jitted
@@ -83,9 +83,11 @@ def measure_tpu_steps(backend, B=64, T=100, d_obs=20, d_latent=10,
     prefetched minibatches, PRNG key threaded on device). See
     measure_tpu_estep for why the one-dispatch-per-step r03 protocol
     stopped measuring the code: the per-dispatch tunnel overhead now
-    dominates and drifts 2x run to run. r05: k_fused deepened 8 -> 16
-    (the residual per-dispatch overhead share halves again; r04 rows
-    still carried OH/8 ~ 0.2-0.6 ms per step inside their numbers)."""
+    dominates and drifts 2x run to run. r05: k_fused deepened 8 -> 48
+    at B=64 (~100 ms payload vs observed overhead windows of up to
+    ~20-55 ms; r04 rows still carried OH/8 ~ 0.2-0.6 ms per step inside
+    their numbers); the B=256 variant passes a smaller k for the same
+    payload."""
     from functools import partial
     import jax
     import jax.numpy as jnp
@@ -179,7 +181,7 @@ def measure_cpu_oracle(T=100, d_latent=10, reps=8):
 
 
 def measure_tpu_estep(backend, B=64, T=100, d_latent=10, num_samples=2,
-                      iters=10, k_fused=64):
+                      iters=5, k_fused=192):
     """E-step only (smoother + sampler through the model contract), the
     apples-to-apples twin of measure_cpu_oracle.
 
@@ -192,10 +194,10 @@ def measure_tpu_estep(backend, B=64, T=100, d_latent=10, num_samples=2,
     per-dispatch protocol measures the tunnel, not the code. Stacked
     inputs make every scan iteration distinct work (nothing hoistable),
     and each iteration reduces its outputs into a carried checksum so
-    nothing is dead. r05: k_fused deepened 8 -> 64 (per-step overhead
-    share drops 8x; the 0.28 ms device E-step was carrying 0.2-0.6 ms of
-    OH/8 inside the r04 number, and ~10 ms overhead windows were later
-    observed that made even 9 ms payloads 50% overhead) and the checksum chains back into the
+    nothing is dead. r05: k_fused deepened 8 -> 192 at B=64 (~54 ms
+    payload; the 0.28 ms device E-step was carrying 0.2-0.6 ms of OH/8
+    inside the r04 number, and overhead windows up to ~20-55 ms were
+    later observed) and the checksum chains back into the
     next dispatch's INPUTS so no dispatch ever repeats bit-identical
     (executable, inputs) -- the tunnel result-caches those (see
     measure_slds, where an uncached-pass-1-only protocol let a 30x
@@ -720,8 +722,9 @@ def main():
         # dispatch (lax.scan; see measure_tpu_estep docstring) -- the
         # device-resident pipeline shape; per-dispatch tunnel overhead
         # had grown to dominate single-dispatch measurements.
-        "batches_per_dispatch": {"train": 16, "estep": 64, "slds": 64,
-                                 "hmm": 128, "conv_lds": 4, "gmm": 320},
+        "batches_per_dispatch": {"train": 48, "estep": 192, "slds": 64,
+                                 "hmm": 128, "conv_lds": 4, "gmm": 320,
+                                 "train_b256": 8, "estep_b256": 32},
     }
     try:
         xla_train, _ = measure_tpu_steps("xla")
@@ -731,14 +734,14 @@ def main():
     try:
         # full-lane throughput point: B=64 only half-fills the 128-lane
         # kernel layout (and per-chip throughput keeps scaling to B=256)
-        tr256, _ = measure_tpu_steps(backend, B=256)
-        es256 = measure_tpu_estep(backend, B=256)
+        tr256, _ = measure_tpu_steps(backend, B=256, k_fused=8)
+        es256 = measure_tpu_estep(backend, B=256, k_fused=32)
         # physical consistency: the train step CONTAINS the E-step, so a
         # train-step throughput above the E-step's is a timing artifact
         # (observed once through the axon tunnel) -- re-measure
         if tr256 > es256 * 1.1:
-            tr256, _ = measure_tpu_steps(backend, B=256)
-            es256 = measure_tpu_estep(backend, B=256)
+            tr256, _ = measure_tpu_steps(backend, B=256, k_fused=8)
+            es256 = measure_tpu_estep(backend, B=256, k_fused=32)
         result["train_step_b256_seqs_per_sec"] = round(tr256, 2)
         result["estep_b256_seqs_per_sec"] = round(es256, 2)
     except Exception:
@@ -792,18 +795,19 @@ def main():
     # min/max of the three timing passes per headline row (run-to-run
     # variance; the headline keeps the slowest pass). _spread_seqs
     # returns None for rows whose measurement was skipped.
-    result["estep_spread"] = _spread_seqs(f"estep_{backend}_b64", 64 * 64)
+    result["estep_spread"] = _spread_seqs(f"estep_{backend}_b64",
+                                          192 * 64)
     result["train_step_spread"] = _spread_seqs(f"train_{backend}_b64",
-                                               16 * 64)
+                                               48 * 64)
     if result.get("slds_estep_seqs_per_sec"):
         result["slds_spread"] = _spread_seqs("slds_folded", 64 * 16)
         result["slds_unfolded_spread"] = _spread_seqs("slds", 64 * 16)
     if result.get("estep_b256_seqs_per_sec"):
         result["estep_b256_spread"] = _spread_seqs(
-            f"estep_{backend}_b256", 64 * 256)
+            f"estep_{backend}_b256", 32 * 256)
     if result.get("train_step_b256_seqs_per_sec"):
         result["train_b256_spread"] = _spread_seqs(
-            f"train_{backend}_b256", 16 * 256)
+            f"train_{backend}_b256", 8 * 256)
     result.update(speed_of_light(step_dt))
     print(json.dumps(result))
 
