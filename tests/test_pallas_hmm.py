@@ -135,3 +135,34 @@ def test_explicit_stationary_kernel_with_time_varying_raises():
     with pytest.raises(ValueError, match="kernel"):
         pallas_hmm.hmm_posterior(li, lt, lo, block_b=BLOCK,
                                  interpret=True, kernel="bogus")
+
+
+def test_pair_weights_with_stationary_transitions():
+    """pair_weights with a STATIONARY (2-D) log_trans on the batched
+    kernel path (the SLDS ragged path passes time-varying transitions, so
+    this combination is only reachable by direct users): weighted pair
+    counts match the per-sequence XLA path, values and grads."""
+    B, T, K = 3, 9, 4
+    li, lt, lo = _problem(jax.random.PRNGKey(6), B, T, K)
+    w = jnp.asarray(np.random.RandomState(0).rand(B, T - 1))
+
+    ref = jax.vmap(lambda l, ww: hmm.hmm_posterior(li, lt, l,
+                                                   pair_weights=ww))(lo, w)
+    out = pallas_hmm.hmm_posterior(li, lt, lo, block_b=BLOCK,
+                                   interpret=True, unroll=2,
+                                   pair_weights=w)
+    for n, a, b in zip(("logZ", "node", "pair_sum", "r1"), ref, out):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-9, atol=1e-11, err_msg=n)
+
+    def loss(fn):
+        return lambda l: jnp.sum(fn(l)[2] ** 2)
+
+    g_ref = jax.grad(loss(lambda l: jax.tree.map(
+        jnp.stack, jax.vmap(lambda x, ww: hmm.hmm_posterior(
+            li, lt, x, pair_weights=ww))(l, w))))(lo)
+    g_pl = jax.grad(loss(lambda l: pallas_hmm.hmm_posterior(
+        li, lt, l, block_b=BLOCK, interpret=True, unroll=2,
+        pair_weights=w)))(lo)
+    np.testing.assert_allclose(np.asarray(g_pl), np.asarray(g_ref),
+                               rtol=1e-8, atol=1e-10)
