@@ -662,19 +662,52 @@ def speed_of_light(step_dt, B=64, T=100, d=10, S=2, block_b=128):
     }
 
 
+def _probe_tpu(attempts=8, wait_s=75, probe_timeout_s=120):
+    """True when the axon-tunneled chip initializes in a SUBPROCESS.
+
+    The tunnel was observed (2026-08-21 04:11) to go down for a stretch:
+    backend init then either raises (old fallback caught it) or HANGS
+    indefinitely (nothing caught it -- an in-process jax.devices() call
+    would stall the whole bench). Probing in a killable subprocess with
+    retries rides out a transient outage (~10 min budget) before the CPU
+    fallback, and a hang can never wedge the main process."""
+    import subprocess
+    import sys
+
+    if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+        return False  # explicit CPU session (tests): no probe, no waits
+
+    code = ("import jax, sys; "
+            "sys.exit(0 if jax.devices()[0].platform == 'tpu' else 1)")
+    for i in range(attempts):
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               timeout=probe_timeout_s,
+                               stdout=subprocess.DEVNULL,
+                               stderr=subprocess.DEVNULL)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if i + 1 < attempts:
+            time.sleep(wait_s)
+    return False
+
+
 def main():
     import jax
 
     # Safety net: if the TPU tunnel is unreachable (axon backend init
-    # fails) fall back to CPU + the XLA backend so the bench still emits
-    # its JSON line (clearly labeled) instead of dying before the metric.
-    try:
-        device = jax.devices()[0]
-        on_tpu = device.platform == "tpu"
-    except Exception:
+    # fails or hangs) fall back to CPU + the XLA backend so the bench
+    # still emits its JSON line (clearly labeled) instead of dying before
+    # the metric -- but only after subprocess-probed retries (see
+    # _probe_tpu): a transient tunnel outage must not record a CPU run
+    # as the round's chip numbers.
+    on_tpu = _probe_tpu()
+    if not on_tpu:
         jax.config.update("jax_platforms", "cpu")
-        device = jax.devices()[0]
-        on_tpu = False
+    device = jax.devices()[0]
+    on_tpu = on_tpu and device.platform == "tpu"
     backend = "pallas" if on_tpu else "xla"
 
     result = {}
@@ -717,6 +750,10 @@ def main():
         "train_step_ms": round(step_dt * 1e3, 3),
         "cpu_estep_seqs_per_sec": round(cpu_seqs, 2),
         "device": str(device),
+        # True = the chip never initialized (even after ~10 min of
+        # subprocess-probed retries) and every row below is the CPU
+        # fallback -- NOT comparable to chip rows
+        "tpu_unreachable_cpu_fallback": not on_tpu,
         "backend": backend,
         # r04 protocol: 8 distinct batches / train steps ride ONE jitted
         # dispatch (lax.scan; see measure_tpu_estep docstring) -- the
