@@ -64,6 +64,16 @@ def _lump_time(run_iters, iters, spread_key=None):
     return max(dts)
 
 
+def _row_error(exc):
+    """Compact one-line diagnosis for a failed bench row, recorded next to
+    the row's ``null`` in the JSON line. Without this, a null row in the
+    driver artifact is undiagnosable after the fact (observed 2026-08-21:
+    the conv row nulled because a second process was sharing the chip --
+    the exception text would have said so immediately)."""
+    msg = " ".join(repr(exc).split())
+    return msg[:300]
+
+
 def _spread_seqs(key, scale):
     """min/max seqs-per-sec pair from a recorded time spread (None when the
     measurement was stubbed/skipped and recorded no spread)."""
@@ -766,8 +776,9 @@ def main():
     try:
         xla_train, _ = measure_tpu_steps("xla")
         result["train_step_xla_seqs_per_sec"] = round(xla_train, 2)
-    except Exception:
+    except Exception as exc:  # see _row_error
         result["train_step_xla_seqs_per_sec"] = None
+        result["train_step_xla_error"] = _row_error(exc)
     try:
         # full-lane throughput point: B=64 only half-fills the 128-lane
         # kernel layout (and per-chip throughput keeps scaling to B=256)
@@ -781,8 +792,9 @@ def main():
             es256 = measure_tpu_estep(backend, B=256, k_fused=32)
         result["train_step_b256_seqs_per_sec"] = round(tr256, 2)
         result["estep_b256_seqs_per_sec"] = round(es256, 2)
-    except Exception:
+    except Exception as exc:
         result["train_step_b256_seqs_per_sec"] = None
+        result["b256_error"] = _row_error(exc)
     try:
         slds_fold, slds_unf, slds_cpu, slds_dt = measure_slds()
         # headline = lane-folded (4 independent config-3 batches fill the
@@ -792,8 +804,9 @@ def main():
         result["slds_vs_cpu"] = round(slds_fold / slds_cpu, 2)
         result["slds_unfolded_vs_cpu"] = round(slds_unf / slds_cpu, 2)
         result["slds_step_ms"] = round(slds_dt * 1e3, 2)
-    except Exception:
+    except Exception as exc:
         result["slds_estep_seqs_per_sec"] = None
+        result["slds_error"] = _row_error(exc)
     try:
         hmm_xla, hmm_pl, hmm_cpu = measure_hmm()
         # headline = the measured-fastest standalone path (XLA log-matmul,
@@ -806,8 +819,9 @@ def main():
         result["hmm_spread"] = _spread_seqs("hmm", 128 * 128)
         result["hmm_pallas_spread"] = _spread_seqs("hmm_pallas",
                                                    128 * 128)
-    except Exception:
+    except Exception as exc:
         result["hmm_posterior_seqs_per_sec"] = None
+        result["hmm_error"] = _row_error(exc)
     try:
         # BASELINE config 1: GMM-SVAE full-batch SVI step (N=1000, K=8,
         # 25 sweeps) vs the vectorized f64 NumPy mean-field twin (the
@@ -818,8 +832,9 @@ def main():
         result["gmm_steps_per_dispatch"] = k_fused
         result["gmm_unfused_steps_per_sec"] = round(gmm_unfused, 2)
         result["gmm_spread"] = _spread_seqs("gmm", float(k_fused))
-    except Exception:
+    except Exception as exc:
         result["gmm_steps_per_sec"] = None
+        result["gmm_error"] = _row_error(exc)
     try:
         # BASELINE config 4: conv recognition + T=500 LDS train step;
         # denominator = strongest CPU E-step at the same (T, d)
@@ -827,8 +842,9 @@ def main():
         result["conv_lds_train_seqs_per_sec"] = round(conv_seqs, 2)
         result["conv_lds_vs_cpu_estep"] = round(conv_seqs / conv_cpu, 2)
         result["conv_lds_spread"] = _spread_seqs("conv_lds", 4 * 8)
-    except Exception:
+    except Exception as exc:
         result["conv_lds_train_seqs_per_sec"] = None
+        result["conv_lds_error"] = _row_error(exc)
     # min/max of the three timing passes per headline row (run-to-run
     # variance; the headline keeps the slowest pass). _spread_seqs
     # returns None for rows whose measurement was skipped.

@@ -85,3 +85,37 @@ def test_main_emits_schema(monkeypatch, capsys):
     assert rec["value"] > 0 and rec["vs_baseline"] > 0
     assert rec["gmm_steps_per_sec"] == 600.0
     assert rec["conv_lds_vs_cpu_estep"] == 18.0
+
+
+def test_main_records_row_error_diagnosis(monkeypatch, capsys):
+    """A failed row must null its metric AND record a one-line diagnosis
+    (r05: a conv row nulled in a driver-style capture because a second
+    process shared the chip; the bare null was undiagnosable)."""
+    monkeypatch.setattr(bench, "measure_tpu_estep", lambda backend: 123.0)
+    monkeypatch.setattr(bench, "measure_tpu_steps",
+                        lambda backend: (45.0, 0.1))
+    monkeypatch.setattr(bench, "measure_cpu_oracle", lambda: 10.0)
+    monkeypatch.setattr(bench, "measure_slds",
+                        lambda: (30.0, 8.0, 2.0, 0.02))
+    monkeypatch.setattr(bench, "measure_hmm", lambda: (500.0, 400.0, 100.0))
+    monkeypatch.setattr(bench, "measure_gmm",
+                        lambda: (600.0, 40.0, 80.0, 10))
+
+    def boom():
+        raise RuntimeError("chip busy:\n   second process")
+
+    monkeypatch.setattr(bench, "measure_conv_lds", boom)
+    bench.main()
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["conv_lds_train_seqs_per_sec"] is None
+    assert "chip busy" in rec["conv_lds_error"]
+    assert "\n" not in rec["conv_lds_error"]
+    # the b256 stub above cannot accept B=/k_fused= kwargs -> that row
+    # nulls too and must carry its own diagnosis
+    assert rec["train_step_b256_seqs_per_sec"] is None
+    assert "b256_error" in rec
+
+
+def test_row_error_compact():
+    msg = bench._row_error(ValueError("x\n" + "y" * 500))
+    assert "\n" not in msg and len(msg) <= 300
